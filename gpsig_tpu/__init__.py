@@ -1,0 +1,12 @@
+"""gpsig-tpu: TPU-native Gaussian processes with signature covariances.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of tgcsaba/GPSig
+(Bayesian learning on sequential data with truncated signature kernels),
+designed TPU-first: pure-function kernels over parameter pytrees, fused
+Pallas Gram kernels, pjit/shard_map scale-out, optax training.
+"""
+
+from . import config, params  # noqa: F401
+from . import ops  # noqa: F401
+
+__version__ = "0.1.0"

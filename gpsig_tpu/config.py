@@ -1,0 +1,50 @@
+"""Global numerics policy for gpsig-tpu.
+
+The reference (tgcsaba/GPSig) inherits GPflow's `settings` object for its
+float type (float64) and jitter level (used e.g. at
+`gpsig/kernels.py:431,463` and `gpsig/low_rank_calculations.py:52-56`).
+
+On TPU the fast path is float32 (MXU-native, with float32 accumulation);
+float64 is supported by XLA:TPU but slow, and is used here only as a
+validation mode.  The library is dtype-polymorphic: computations follow the
+dtype of the inputs/parameters, and this module only carries the *policy*
+knobs (default dtype for parameter initialization, jitter level).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class NumericsConfig:
+    #: default dtype for newly initialized parameters
+    default_float: jnp.dtype = jnp.float32
+    #: jitter added to diagonals before Cholesky / normalization
+    #: (GPflow's `settings.jitter` analogue)
+    jitter: float = 1e-6
+
+
+_CONFIG = NumericsConfig()
+
+
+def config() -> NumericsConfig:
+    return _CONFIG
+
+
+def default_float() -> jnp.dtype:
+    return _CONFIG.default_float
+
+
+def jitter() -> float:
+    return _CONFIG.jitter
+
+
+def set_default_float(dtype) -> None:
+    _CONFIG.default_float = jnp.dtype(dtype)
+
+
+def set_jitter(value: float) -> None:
+    _CONFIG.jitter = float(value)
