@@ -20,8 +20,9 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class NumericsConfig:
-    #: default dtype for newly initialized parameters
-    default_float: jnp.dtype = jnp.float32
+    #: default dtype for newly initialized parameters; None = follow JAX's
+    #: x64 mode (float64 when enabled, else float32)
+    default_float: jnp.dtype | None = None
     #: jitter added to diagonals before Cholesky / normalization
     #: (GPflow's `settings.jitter` analogue)
     jitter: float = 1e-6
@@ -35,7 +36,11 @@ def config() -> NumericsConfig:
 
 
 def default_float() -> jnp.dtype:
-    return _CONFIG.default_float
+    if _CONFIG.default_float is not None:
+        return _CONFIG.default_float
+    import jax
+
+    return jnp.dtype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
 
 def jitter() -> float:

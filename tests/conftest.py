@@ -8,7 +8,8 @@ virtual device mesh per SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the ambient environment sets JAX_PLATFORMS=axon (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already have been imported by a pytest plugin with the ambient
+# JAX_PLATFORMS=axon; override through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
