@@ -8,5 +8,10 @@ Pallas Gram kernels, pjit/shard_map scale-out, optax training.
 
 from . import config, params  # noqa: F401
 from . import ops  # noqa: F401
+from . import kernels, likelihoods, linalg, inducing, training  # noqa: F401
+from . import preprocessing, utils  # noqa: F401
+from . import models  # noqa: F401
+from .inducing import InducingSequences, InducingTensors  # noqa: F401
+from .models import SVGP  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,164 @@
+"""Likelihoods: Gaussian, Bernoulli (probit), MultiClass (RobustMax).
+
+The reference uses GPflow's likelihoods (`benchmarks/models/train_gpsig.py:60-65`:
+Bernoulli for C=2, MultiClass otherwise).  These are re-derived here as pure
+functions with Gauss-Hermite quadrature where GPflow quadratures, so ELBO and
+nlpp numbers are comparable.
+
+All methods broadcast over ``(N, num_latent)`` mean/variance arrays; labels
+``Y`` are ``(N, 1)`` (class index for MultiClass, {0,1} for Bernoulli).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gh_points(n: int, dtype):
+    x, w = np.polynomial.hermite.hermgauss(n)
+    return jnp.asarray(x, dtype=dtype), jnp.asarray(w, dtype=dtype)
+
+
+def _normal_cdf(x):
+    return 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+@dataclasses.dataclass(frozen=True)
+class Gaussian:
+    """Gaussian likelihood with fixed noise variance (trainable variant can
+    carry the variance in the model's param pytree)."""
+
+    variance: float = 1.0
+    num_latent: int = 1
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        v = self.variance
+        return (
+            -0.5 * jnp.log(2.0 * jnp.pi * v)
+            - 0.5 * (jnp.square(Y - Fmu) + Fvar) / v
+        )
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        return Fmu, Fvar + self.variance
+
+    def predict_log_density(self, Fmu, Fvar, Y):
+        v = Fvar + self.variance
+        return jnp.sum(
+            -0.5 * jnp.log(2.0 * jnp.pi * v) - 0.5 * jnp.square(Y - Fmu) / v,
+            axis=-1,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Bernoulli:
+    """Bernoulli likelihood with probit inverse link (GPflow default).
+
+    ``Y`` takes values in {0, 1}.  variational_expectations uses GH
+    quadrature of the log-density (matching GPflow's generic quadrature
+    fallback); predictions use the closed probit form.
+    """
+
+    num_gh: int = 20
+    num_latent: int = 1
+
+    @staticmethod
+    def _invlink(F):
+        p = _normal_cdf(F)
+        # GPflow clips probit outputs away from {0,1} by 1e-3
+        return p * (1.0 - 2e-3) + 1e-3
+
+    def _log_prob(self, F, Y):
+        p = self._invlink(F)
+        return jnp.where(Y > 0.5, jnp.log(p), jnp.log1p(-p))
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        x, w = _gh_points(self.num_gh, Fmu.dtype)
+        # E_{N(f|mu,var)} log p(y|f) via GH: f = mu + sqrt(2 var) x
+        F = Fmu[..., None] + jnp.sqrt(2.0 * Fvar[..., None]) * x
+        lp = self._log_prob(F, Y[..., None])
+        return jnp.sum(lp * w, axis=-1) / math.sqrt(math.pi)
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        p = self._invlink(Fmu / jnp.sqrt(1.0 + Fvar))
+        return p, p - jnp.square(p)
+
+    def predict_log_density(self, Fmu, Fvar, Y):
+        p, _ = self.predict_mean_and_var(Fmu, Fvar)
+        return jnp.sum(
+            jnp.where(Y > 0.5, jnp.log(p), jnp.log1p(-p)), axis=-1
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiClass:
+    """MultiClass likelihood with RobustMax inverse link (GPflow semantics).
+
+    RobustMax: p(y=c|f) = 1-eps if c == argmax(f) else eps/(C-1).
+    ``prob_is_largest`` is evaluated with 1-D Gauss-Hermite quadrature over
+    the selected latent, exactly as GPflow does, so nlpp values line up with
+    the reference benchmarks.
+    """
+
+    num_classes: int
+    epsilon: float = 1e-3
+    num_gh: int = 20
+
+    @property
+    def num_latent(self):
+        return self.num_classes
+
+    def _prob_is_largest(self, Y, Fmu, Fvar):
+        dtype = Fmu.dtype
+        gh_x, gh_w = _gh_points(self.num_gh, dtype)
+        C = self.num_classes
+        oh = jax.nn.one_hot(Y[:, 0].astype(jnp.int32), C, dtype=dtype)  # (N, C)
+        mu_sel = jnp.sum(oh * Fmu, axis=1)  # (N,)
+        var_sel = jnp.sum(oh * Fvar, axis=1)
+        # GH grid over the selected latent
+        X = mu_sel[:, None] + gh_x[None, :] * jnp.sqrt(
+            jnp.clip(2.0 * var_sel, 1e-10, None)
+        )[:, None]  # (N, G)
+        dist = (X[:, :, None] - Fmu[:, None, :]) / jnp.sqrt(
+            jnp.clip(Fvar[:, None, :], 1e-10, None)
+        )  # (N, G, C)
+        cdfs = _normal_cdf(dist)
+        cdfs = cdfs * (1.0 - 2e-4) + 1e-4
+        # selected latent contributes a factor of 1
+        cdfs = cdfs * (1.0 - oh)[:, None, :] + oh[:, None, :]
+        probs = jnp.prod(cdfs, axis=2)  # (N, G)
+        return probs @ (gh_w / math.sqrt(math.pi))  # (N,)
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        p = self._prob_is_largest(Y, Fmu, Fvar)
+        eps = self.epsilon
+        ve = p * math.log(1.0 - eps) + (1.0 - p) * math.log(
+            eps / (self.num_classes - 1)
+        )
+        return ve[:, None]
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        C = self.num_classes
+        N = Fmu.shape[0]
+        ps = jnp.stack(
+            [
+                self._prob_is_largest(jnp.full((N, 1), c), Fmu, Fvar)
+                for c in range(C)
+            ],
+            axis=1,
+        )
+        mean = ps * (1.0 - self.epsilon) + (1.0 - ps) * (
+            self.epsilon / (C - 1)
+        )  # (N, C)
+        return mean, mean - jnp.square(mean)
+
+    def predict_log_density(self, Fmu, Fvar, Y):
+        p = self._prob_is_largest(Y, Fmu, Fvar)
+        den = p * (1.0 - self.epsilon) + (1.0 - p) * (
+            self.epsilon / (self.num_classes - 1)
+        )
+        return jnp.log(den)

@@ -1,0 +1,116 @@
+"""Sparse variational GP with signature covariances.
+
+TPU-native re-design of the reference's `gpsig/models.py` (GPflow-SVGP
+subclass with DataHolder/Minibatch feeds).  Here the model is a static
+configuration over (kernel, inducing variables, likelihood); the ELBO and
+prediction are pure jit/grad/pjit-able functions of a parameter pytree and a
+data batch — minibatching is the caller's slicing, device placement is
+jax.sharding, and the "single fused covariance call" efficiency trick
+(`models.py:61-73`) is kept via ``Kuu_Kuf_Kff``.
+
+Parameter pytree layout::
+
+    {"kern": {...},            # raw kernel params (bijector-transformed)
+     "ind":  {"Z": ..., ["W"]},# inducing locations (+ optional mixing)
+     "q_mu": (M, P),
+     "q_sqrt": (P, M, M)}      # lower-triangular used via tril
+                               # or (M, P) if q_diag
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..linalg import base_conditional, gauss_kl
+
+
+class SVGP:
+    """Sparse variational GP (whitened by default, like the reference
+    `train_gpsig.py:68`)."""
+
+    def __init__(self, kern, ind, likelihood, *, num_latent: int,
+                 num_data: int | None = None, whiten: bool = True,
+                 q_diag: bool = False):
+        self.kern = kern
+        self.ind = ind
+        self.likelihood = likelihood
+        self.num_latent = int(num_latent)
+        self.num_data = num_data
+        self.whiten = bool(whiten)
+        self.q_diag = bool(q_diag)
+
+    # ------------------------------------------------------------------
+
+    def init_params(self, key=None, dtype=None) -> dict:
+        dtype = dtype or cfg.default_float()
+        M, P = len(self.ind), self.num_latent
+        params = {
+            "kern": self.kern.init_params(key, dtype=dtype),
+            "ind": self.ind.init_params(dtype=dtype),
+            "q_mu": jnp.zeros((M, P), dtype=dtype),
+        }
+        if self.q_diag:
+            params["q_sqrt"] = jnp.ones((M, P), dtype=dtype)
+        else:
+            params["q_sqrt"] = jnp.tile(
+                jnp.eye(M, dtype=dtype)[None], (P, 1, 1)
+            )
+        return params
+
+    def _q_sqrt(self, params):
+        q = params["q_sqrt"]
+        return q if self.q_diag else jnp.tril(q)
+
+    # ------------------------------------------------------------------
+
+    def predict_f(self, params: dict, X, *, full_cov: bool = False,
+                  return_Kzz: bool = False, key=None):
+        """q(f*) at new sequences (<- `models.py:61-73`)."""
+        Kzz, Kzx, Kxx = self.ind.Kuu_Kuf_Kff(
+            params["ind"], self.kern, params["kern"], X,
+            jitter=cfg.jitter(), full_f_cov=full_cov, key=key,
+        )
+        fmean, fvar = base_conditional(
+            Kzx, Kzz, Kxx, params["q_mu"],
+            q_sqrt=self._q_sqrt(params), white=self.whiten,
+            full_cov=full_cov,
+        )
+        if return_Kzz:
+            return fmean, fvar, Kzz
+        return fmean, fvar
+
+    def elbo(self, params: dict, X, Y, *, key=None):
+        """Evidence lower bound on a (mini)batch (<- `models.py:39-59`).
+
+        ``num_data`` (total N) scales the expected-likelihood term for
+        minibatching; defaults to the batch size.
+        """
+        batch = X.shape[0]
+        if self.whiten:
+            fmean, fvar = self.predict_f(params, X, key=key)
+            KL = gauss_kl(params["q_mu"], self._q_sqrt(params))
+        else:
+            fmean, fvar, Kzz = self.predict_f(
+                params, X, return_Kzz=True, key=key
+            )
+            KL = gauss_kl(params["q_mu"], self._q_sqrt(params), K=Kzz)
+        var_exp = self.likelihood.variational_expectations(fmean, fvar, Y)
+        num_data = self.num_data if self.num_data is not None else batch
+        scale = jnp.asarray(num_data, fmean.dtype) / batch
+        return jnp.sum(var_exp) * scale - KL
+
+    def loss(self, params: dict, X, Y, *, key=None):
+        return -self.elbo(params, X, Y, key=key)
+
+    def predict_y(self, params: dict, X, *, key=None):
+        """Predictive mean/variance of observables."""
+        fmean, fvar = self.predict_f(params, X, key=key)
+        return self.likelihood.predict_mean_and_var(fmean, fvar)
+
+    def predict_log_density(self, params: dict, X, Y, *, key=None):
+        """log p(Y*|X*) under the predictive (nlpp = -mean of this)."""
+        fmean, fvar = self.predict_f(params, X, key=key)
+        return self.likelihood.predict_log_density(fmean, fvar, Y)
