@@ -389,6 +389,66 @@ class SignatureKernel:
 
         return self._finalize(self._level_scale(cp, K_lvls), return_levels)
 
+    def K_blocked(self, params: dict, X, X2=None, *,
+                  block_size: int = 16, diag_block_size: int = 64,
+                  return_levels: bool = False, fast_math: bool = False):
+        """Memory-bounded Gram for large N / long L (order-1 path).
+
+        Equivalent to :meth:`K` but evaluated over ``(block, block)`` example
+        tiles with the level recursion on the MXU — peak memory
+        O(block^2 L^2) instead of O(N^2 L^2).  See ``gpsig_tpu.ops.gram``.
+        """
+        if self.order != 1:
+            raise NotImplementedError("K_blocked supports order=1 only")
+        if self.low_rank:
+            raise ValueError("use K() for the low-rank path")
+        from .ops import gram as gram_ops
+
+        precision = (
+            jax.lax.Precision.DEFAULT if fast_math else jax.lax.Precision.HIGHEST
+        )
+        cp = self.constrain(params)
+        X = _as_sequences(X, self.num_features)
+        Xs = self._scale_sequences(cp, X)
+        kern = self._base_kern(cp)
+        jitter = cfg.jitter()
+
+        if X2 is None:
+            K_lvls = gram_ops.blocked_first_order_levels(
+                kern, Xs, num_levels=self.num_levels,
+                difference=self.difference, block_size=block_size,
+                precision=precision,
+            )
+            if self.normalization:
+                K_lvls = K_lvls + jitter * jnp.eye(X.shape[0], dtype=K_lvls.dtype)[None]
+                d1s = jnp.sqrt(jnp.diagonal(K_lvls, axis1=-2, axis2=-1))
+                K_lvls = K_lvls / (d1s[:, :, None] * d1s[:, None, :])
+        else:
+            X2 = _as_sequences(X2, self.num_features)
+            X2s = self._scale_sequences(cp, X2)
+            K_lvls = gram_ops.blocked_first_order_levels(
+                kern, Xs, X2s, num_levels=self.num_levels,
+                difference=self.difference, block_size=block_size,
+                precision=precision,
+            )
+            if self.normalization:
+                d1 = gram_ops.blocked_first_order_levels_diag(
+                    kern, Xs, num_levels=self.num_levels,
+                    difference=self.difference, block_size=diag_block_size,
+                    precision=precision,
+                )
+                d2 = gram_ops.blocked_first_order_levels_diag(
+                    kern, X2s, num_levels=self.num_levels,
+                    difference=self.difference, block_size=diag_block_size,
+                    precision=precision,
+                )
+                K_lvls = K_lvls / (
+                    jnp.sqrt(d1 + jitter)[:, :, None]
+                    * jnp.sqrt(d2 + jitter)[:, None, :]
+                )
+
+        return self._finalize(self._level_scale(cp, K_lvls), return_levels)
+
     def _joint_nystrom_samples(self, key, flat1, flat2):
         """Shared Nystrom landmarks drawn from the union of two point sets
         (cf. `kernels.py:443-446`)."""

@@ -1,0 +1,6 @@
+from .sharding import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    shard_params,
+    make_train_step,
+)
