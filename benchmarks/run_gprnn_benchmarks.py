@@ -1,0 +1,42 @@
+"""GPRNN baseline benchmark sweep."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from benchmarks.models import train_gprnn_classifier  # noqa: E402
+
+_HERE = os.path.dirname(__file__)
+with open(os.path.join(_HERE, "datasets.json")) as f:
+    DATASETS = json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--rnn-type", default="lstm", choices=["lstm", "gru"])
+    ap.add_argument("--num-hidden", type=int, default=32)
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--epochs-cap", type=int, default=None)
+    args = ap.parse_args()
+    save_dir = args.save_dir or f"./GP{args.rnn_type.upper()}/"
+
+    for r in range(args.repeats):
+        for name in args.datasets:
+            marker = os.path.join(save_dir, f"{name}_{r}.json")
+            if os.path.exists(marker):
+                print(f"skip {name}_{r} (exists)")
+                continue
+            train_gprnn_classifier(
+                name, rnn_type=args.rnn_type, num_hidden=args.num_hidden,
+                val_split=0.1, experiment_idx=r, save_dir=save_dir,
+                epochs_cap=args.epochs_cap, seed=r,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""GPRNN architecture gridsearch (see run_gpsigrnn_gridsearch.py)."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from benchmarks.models import train_gprnn_classifier  # noqa: E402
+
+_HERE = os.path.dirname(__file__)
+with open(os.path.join(_HERE, "datasets.json")) as f:
+    DATASETS = json.load(f)
+
+GRID_H = [8, 32, 128]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
+    ap.add_argument("--rnn-type", default="lstm", choices=["lstm", "gru"])
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--epochs-cap", type=int, default=None)
+    args = ap.parse_args()
+    save_dir = args.save_dir or f"./gridsearch_GP{args.rnn_type.upper()}/"
+
+    arch_path = os.path.join(_HERE, "architectures.json")
+    arch = json.load(open(arch_path)) if os.path.exists(arch_path) else {}
+
+    for name in args.datasets:
+        scores = {}
+        for H in GRID_H:
+            marker = os.path.join(save_dir, f"{name}_H{H}.json")
+            if os.path.exists(marker):
+                scores[H] = json.load(open(marker))["val_nlpp"]
+                continue
+            res = train_gprnn_classifier(
+                name, rnn_type=args.rnn_type, num_hidden=H,
+                val_split=0.2, test_split=0.2,
+                experiment_idx=f"H{H}", save_dir=save_dir,
+                epochs_cap=args.epochs_cap, seed=0,
+            )
+            scores[H] = res["val_nlpp"]
+        best_H = min(scores, key=scores.get)
+        arch.setdefault(name, {})[f"gp{args.rnn_type}"] = {
+            "num_hidden": best_H, "dropout": 0.0,
+        }
+        with open(arch_path, "w") as f:
+            json.dump(arch, f, indent=2)
+        print(f"{name}: best H={best_H} (val nlpp {scores[best_H]:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Checkpoint / resume for training state pytrees.
+
+The reference keeps in-memory parameter snapshots inside a pickled
+``history`` dict (`gpsig/training.py:74-78,117-129`; restore via
+``m.assign``).  Here checkpoints are explicit on-disk pytree files
+(params + optimizer state + RNG key + iteration), so runs survive process
+death and restarts are deterministic (SURVEY.md §5).
+
+Uses flax's msgpack serialization (no framework state, works for any
+pytree of arrays).  ``save`` is atomic (write + rename).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def save(path: str, state: dict) -> None:
+    """Serialize a pytree of arrays to ``path`` atomically."""
+    state = jax.tree.map(np.asarray, state)
+    data = serialization.to_bytes(state)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def restore(path: str, like: dict) -> dict:
+    """Load a pytree saved by :func:`save`; ``like`` supplies the structure
+    (and dtypes) to restore into."""
+    with open(path, "rb") as f:
+        data = f.read()
+    like_np = jax.tree.map(np.asarray, like)
+    restored = serialization.from_bytes(like_np, data)
+    return jax.tree.map(
+        lambda r, l: jnp.asarray(r, dtype=np.asarray(l).dtype), restored, like
+    )
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(path)

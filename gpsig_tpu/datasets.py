@@ -1,0 +1,155 @@
+"""UEA-style benchmark dataset loading (host-side numpy).
+
+Equivalent of the reference's `benchmarks/utils/datasets.py`: loads the
+``.mat`` archives (ragged object arrays ``X_train/y_train/X_test/y_test``),
+optionally adds a time channel, mean-pools long sequences to ``max_len``,
+makes stratified val/test splits with a 2-per-class floor, standardizes
+per channel on the train split, pads per model family, and re-indexes
+labels to 0..C-1.
+
+Padding per model family (`benchmarks/utils/datasets.py:97-120`):
+  'sig'   -> repeat-last-observation (signature invariant)
+  'nn'    -> zero pre-padding (masked RNNs)
+  'kconv' -> NaN padding (Conv1D kernel masks NaN windows)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import preprocessing as prep
+
+DEFAULT_DATA_DIR = os.environ.get(
+    "GPSIG_TPU_DATA_DIR", os.path.join(os.path.dirname(__file__), os.pardir,
+                                       "benchmarks", "datasets")
+)
+
+
+def _stratified_split(X_list, y, size, rng):
+    """Stratified holdout of ``size`` examples (>=1 per represented class
+    proportionally; mirrors sklearn's train_test_split(stratify=y))."""
+    y = np.asarray(y)
+    n = len(y)
+    classes, counts = np.unique(y, return_counts=True)
+    # proportional allocation, largest remainders
+    quota = size * counts / n
+    take = np.floor(quota).astype(int)
+    rem = size - take.sum()
+    if rem > 0:
+        order = np.argsort(-(quota - take))
+        take[order[:rem]] += 1
+    hold_idx = []
+    for c, t in zip(classes, take):
+        idx_c = np.flatnonzero(y == c)
+        rng.shuffle(idx_c)
+        hold_idx.extend(idx_c[:t])
+    hold_idx = np.asarray(sorted(hold_idx))
+    mask = np.zeros(n, dtype=bool)
+    mask[hold_idx] = True
+    keep = [X_list[i] for i in np.flatnonzero(~mask)]
+    hold = [X_list[i] for i in hold_idx]
+    return keep, y[~mask], hold, y[mask]
+
+
+def load_dataset(dataset_name: str, *, for_model: str = "sig",
+                 normalize_data: bool = False, add_time: bool = False,
+                 max_len: int | None = None, val_split=None, test_split=None,
+                 data_dir: str | None = None, seed: int = 0,
+                 return_min_len: bool = False):
+    """Load and preprocess a UEA ``.mat`` dataset.
+
+    Returns (X_train, y_train, X_val, y_val, X_test, y_test) with X arrays
+    of shape (N, L_max, d) and integer labels 0..C-1; X_val/y_val are None
+    when no validation split is requested.
+    """
+    from scipy.io import loadmat
+
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    path = os.path.join(data_dir, f"{dataset_name}.mat")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found; download the UEA archive into {data_dir} "
+            "(see benchmarks/README.md)"
+        )
+    data = loadmat(path)
+    X_train = [np.asarray(x, dtype=np.float64) for x in np.squeeze(data["X_train"])]
+    X_test = [np.asarray(x, dtype=np.float64) for x in np.squeeze(data["X_test"])]
+    y_train = np.squeeze(data["y_train"])
+    y_test = np.squeeze(data["y_test"])
+
+    len_min = min(
+        min(x.shape[0] for x in X_train), min(x.shape[0] for x in X_test)
+    )
+
+    if add_time:
+        X_train = prep.add_time_to_list(X_train)
+        X_test = prep.add_time_to_list(X_test)
+
+    if max_len is not None:
+        X_train = [prep.mean_pool_to_max_len(x, max_len) for x in X_train]
+        X_test = [prep.mean_pool_to_max_len(x, max_len) for x in X_test]
+
+    num_classes = np.unique(y_train.astype(np.int64)).size
+    rng = np.random.RandomState(seed)
+
+    def _norm_split(split):
+        # fraction -> count, with a 2-per-class floor (`datasets.py:50-60`)
+        if split is None:
+            return None
+        n = len(X_train)
+        count = int(np.ceil(split * n)) if split < 1.0 else int(split)
+        return max(count, 2 * num_classes)
+
+    val_n = _norm_split(val_split)
+    test_n = _norm_split(test_split)
+
+    X_val = y_val = None
+    if test_n is not None:
+        # carve the test set out of the training data instead
+        X_train, y_train, X_test, y_test = _stratified_split(
+            X_train, y_train, test_n, rng
+        )
+    if val_n is not None:
+        X_train, y_train, X_val, y_val = _stratified_split(
+            X_train, y_train, val_n, rng
+        )
+
+    if normalize_data:
+        flat = np.concatenate(X_train, axis=0)
+        mean, std = flat.mean(axis=0), flat.std(axis=0)
+        std = np.where(std == 0, 1.0, std)
+        X_train = [(x - mean) / std for x in X_train]
+        X_test = [(x - mean) / std for x in X_test]
+        if X_val is not None:
+            X_val = [(x - mean) / std for x in X_val]
+
+    pad_opts = {
+        "sig": dict(pad_with=None, pre=False),
+        "nn": dict(pad_with=0.0, pre=True),
+        "kconv": dict(pad_with=float("nan"), pre=False),
+    }
+    try:
+        opts = pad_opts[for_model.lower()]
+    except KeyError:
+        raise ValueError(f"unknown model family {for_model!r}") from None
+
+    all_seqs = list(X_train) + (list(X_val) if X_val is not None else []) + list(X_test)
+    tab = prep.tabulate_list_of_sequences(all_seqs, **opts)
+    n_train = len(X_train)
+    n_val = len(X_val) if X_val is not None else 0
+    X_train = tab[:n_train]
+    X_val = tab[n_train:n_train + n_val] if n_val else None
+    X_test = tab[n_train + n_val:]
+
+    label_map = {v: i for i, v in enumerate(np.unique(y_train))}
+    y_train = np.asarray([label_map[v] for v in y_train])
+    y_test = np.asarray([label_map[v] for v in y_test])
+    if y_val is not None:
+        y_val = np.asarray([label_map[v] for v in y_val])
+
+    out = (X_train, y_train, X_val, y_val, X_test, y_test)
+    if return_min_len:
+        return out + (len_min,)
+    return out

@@ -1,0 +1,138 @@
+"""Benchmark harness end-to-end: synthetic .mat dataset -> trainer recipes."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from gpsig_tpu import datasets
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Tiny ragged 3-class dataset in the UEA .mat layout."""
+    from scipy.io import savemat
+
+    rng = np.random.RandomState(0)
+    tmp = tmp_path_factory.mktemp("data")
+
+    def make(n):
+        X, y = [], []
+        for i in range(n):
+            c = i % 3
+            L = rng.randint(8, 14)
+            t = np.linspace(0, 1, L)
+            base = np.stack([np.sin((c + 1) * 3 * t), t * (c - 1)], axis=1)
+            X.append(base + 0.05 * rng.randn(L, 2))
+            y.append(c)
+        Xo = np.empty(n, dtype=object)
+        for i, x in enumerate(X):
+            Xo[i] = x
+        return Xo, np.asarray(y, dtype=np.float64)
+
+    X_train, y_train = make(36)
+    X_test, y_test = make(18)
+    savemat(
+        os.path.join(tmp, "Synth.mat"),
+        {"X_train": X_train, "y_train": y_train,
+         "X_test": X_test, "y_test": y_test},
+    )
+    return str(tmp)
+
+
+class TestLoadDataset:
+    def test_sig_padding(self, synth_dataset):
+        Xtr, ytr, Xv, yv, Xte, yte = datasets.load_dataset(
+            "Synth", data_dir=synth_dataset, for_model="sig", add_time=True,
+            normalize_data=True,
+        )
+        assert Xtr.ndim == 3 and Xtr.shape[2] == 3  # time channel added
+        assert Xv is None
+        assert set(np.unique(ytr)) <= {0, 1, 2}
+        # repeat-last padding: last rows equal
+        row_last = Xtr[0, -1]
+        assert np.isfinite(Xtr).all()
+
+    def test_val_split_stratified(self, synth_dataset):
+        Xtr, ytr, Xv, yv, Xte, yte = datasets.load_dataset(
+            "Synth", data_dir=synth_dataset, for_model="sig",
+            val_split=0.25,
+        )
+        assert Xv is not None
+        assert len(yv) >= 6  # 2-per-class floor
+        assert set(np.unique(yv)) == {0, 1, 2}
+        assert len(ytr) + len(yv) == 36
+
+    def test_nan_padding_for_kconv(self, synth_dataset):
+        Xtr, *_ = datasets.load_dataset(
+            "Synth", data_dir=synth_dataset, for_model="kconv"
+        )
+        assert np.isnan(Xtr).any()
+
+    def test_nn_zero_prepadding(self, synth_dataset):
+        Xtr, *_ = datasets.load_dataset(
+            "Synth", data_dir=synth_dataset, for_model="nn"
+        )
+        # shorter sequences are zero-padded at the START
+        assert (Xtr[:, 0, :] == 0).any()
+
+    def test_max_len_pooling(self, synth_dataset):
+        Xtr, *_ = datasets.load_dataset(
+            "Synth", data_dir=synth_dataset, for_model="sig", max_len=6
+        )
+        assert Xtr.shape[1] <= 6
+
+    def test_missing_dataset_message(self, synth_dataset):
+        with pytest.raises(FileNotFoundError):
+            datasets.load_dataset("Nope", data_dir=synth_dataset)
+
+
+class TestTrainerRecipes:
+    def test_gpsig_recipe_smoke(self, synth_dataset, tmp_path):
+        from benchmarks.models import train_gpsig_classifier
+
+        res = train_gpsig_classifier(
+            "Synth", num_levels=2, num_inducing=8, minibatch_size=12,
+            max_len=12, val_split=0.25, data_dir=synth_dataset,
+            save_dir=str(tmp_path), epochs_cap=3, experiment_idx=0,
+        )
+        assert 0.0 <= res["test_acc"] <= 1.0
+        assert np.isfinite(res["test_nlpp"])
+        assert os.path.exists(tmp_path / "Synth_0.json")
+        saved = json.load(open(tmp_path / "Synth_0.json"))
+        assert saved == res
+
+    def test_gpkconv1d_recipe_smoke(self, synth_dataset, tmp_path):
+        from benchmarks.models import train_gpkconv1d_classifier
+
+        res = train_gpkconv1d_classifier(
+            "Synth", num_inducing=8, minibatch_size=12, max_len=12,
+            len_windows=3, val_split=0.25, data_dir=synth_dataset,
+            save_dir=str(tmp_path), epochs_cap=2, experiment_idx=0,
+        )
+        assert np.isfinite(res["test_nlpp"])
+
+    def test_gprnn_recipe_smoke(self, synth_dataset, tmp_path):
+        from benchmarks.models import train_gprnn_classifier
+
+        res = train_gprnn_classifier(
+            "Synth", num_inducing=6, num_hidden=4, minibatch_size=12,
+            max_len=12, val_split=0.25, data_dir=synth_dataset,
+            save_dir=str(tmp_path), epochs_cap=2, experiment_idx=0,
+        )
+        assert np.isfinite(res["test_nlpp"])
+
+    def test_gpsigrnn_recipe_smoke(self, synth_dataset, tmp_path):
+        from benchmarks.models import train_gpsigrnn_classifier
+
+        res = train_gpsigrnn_classifier(
+            "Synth", num_levels=2, num_inducing=6, num_hidden=4,
+            minibatch_size=12, max_len=12, val_split=0.25,
+            data_dir=synth_dataset, save_dir=str(tmp_path), epochs_cap=2,
+            experiment_idx=0,
+        )
+        assert np.isfinite(res["test_nlpp"])

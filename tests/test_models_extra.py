@@ -1,0 +1,154 @@
+"""Vector kernels, Conv1D kernel, masked RNN, hybrid models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpsig_tpu import SVGP, kconv, kernels, likelihoods, vector_kernels
+from gpsig_tpu.models import EncoderSVGP, MaskedRNN
+from gpsig_tpu.inducing import InducingTensors
+from gpsig_tpu import utils as gp_utils
+
+RNG = np.random.RandomState(5)
+
+
+class TestVectorKernel:
+    def test_rbf_matches_formula(self):
+        X = RNG.randn(6, 3)
+        k = vector_kernels.VectorKernel(3, base="rbf", lengthscales=[1.0, 2.0, 0.5])
+        p = k.init_params()
+        K = np.asarray(k.K(p, jnp.asarray(X)))
+        ls = np.array([1.0, 2.0, 0.5])
+        Xs = X / ls
+        d2 = ((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(K, np.exp(-d2 / 2), rtol=1e-8)
+        Kd = np.asarray(k.Kdiag(p, jnp.asarray(X)))
+        np.testing.assert_allclose(Kd, np.diag(K), rtol=1e-8)
+
+    def test_svgp_with_inducing_points(self):
+        X = RNG.randn(20, 4)
+        y = (X[:, 0] > 0).astype(np.float64)
+        k = vector_kernels.VectorKernel(4)
+        ind = vector_kernels.InducingPoints(RNG.randn(8, 4))
+        m = SVGP(k, ind, likelihoods.Bernoulli(), num_latent=1, num_data=20)
+        params = m.init_params()
+        e0 = float(m.elbo(params, jnp.asarray(X), jnp.asarray(y[:, None])))
+        assert np.isfinite(e0)
+        g = jax.grad(lambda p: m.loss(p, jnp.asarray(X), jnp.asarray(y[:, None])))(params)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+
+
+class TestConv1D:
+    def test_basic_properties(self):
+        X = RNG.randn(5, 12, 2)
+        k = kconv.Conv1DKernel(2, 4)
+        p = k.init_params()
+        K = np.asarray(k.K(p, jnp.asarray(X)))
+        np.testing.assert_allclose(K, K.T, rtol=1e-9)
+        np.testing.assert_allclose(np.diag(K), 1.0, rtol=1e-9)  # normalized
+        Kd = np.asarray(k.Kdiag(p, jnp.asarray(X)))
+        np.testing.assert_allclose(Kd, 1.0, rtol=1e-9)
+
+    def test_nan_padding_ignored(self):
+        # NaN-padded sequence == truncated sequence
+        X = RNG.randn(3, 10, 2)
+        Xp = np.concatenate([X, np.full((3, 4, 2), np.nan)], axis=1)
+        k = kconv.Conv1DKernel(2, 3)
+        kp = kconv.Conv1DKernel(2, 3)
+        K = np.asarray(k.K(k.init_params(), jnp.asarray(X)))
+        Kp = np.asarray(kp.K(kp.init_params(), jnp.asarray(Xp)))
+        np.testing.assert_allclose(K, Kp, rtol=1e-9)
+
+    def test_inducing_windows_svgp(self):
+        X = RNG.randn(12, 10, 2)
+        y = RNG.randint(0, 2, 12).astype(np.float64)
+        w = 4
+        k = kconv.Conv1DKernel(2, w)
+        Z = RNG.randn(6, w, 2)
+        ind = kconv.InducingWindows(Z)
+        m = SVGP(k, ind, likelihoods.Bernoulli(), num_latent=1, num_data=12)
+        params = m.init_params()
+        e = float(m.elbo(params, jnp.asarray(X), jnp.asarray(y[:, None])))
+        assert np.isfinite(e)
+        g = jax.grad(lambda p: m.loss(p, jnp.asarray(X), jnp.asarray(y[:, None])))(params)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+
+
+class TestMaskedRNN:
+    def test_masking_semantics(self):
+        # zero-padded prefix steps must not affect the carried state
+        X = RNG.randn(4, 8, 3)
+        Xpad = np.concatenate([np.zeros((4, 3, 3)), X], axis=1)
+        enc = MaskedRNN(hidden_dim=5, cell_type="lstm", return_sequences=False)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(Xpad))
+        h_pad = enc.apply(v, jnp.asarray(Xpad))
+        h = enc.apply(v, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(h_pad), np.asarray(h), rtol=1e-6)
+
+    @pytest.mark.parametrize("cell", ["lstm", "gru"])
+    def test_sequences_shape(self, cell):
+        X = jnp.asarray(RNG.randn(3, 7, 2))
+        enc = MaskedRNN(hidden_dim=4, cell_type=cell, return_sequences=True)
+        v = enc.init(jax.random.PRNGKey(0), X)
+        h = enc.apply(v, X)
+        assert h.shape == (3, 7, 4)
+
+
+class TestHybrids:
+    def test_gpsigrnn_trains(self):
+        # tiny GPSigRNN: masked LSTM -> signature SVGP, joint ELBO step
+        N, L, d, H, M = 16, 10, 2, 4, 2
+        X = RNG.randn(N, L, d)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        enc = MaskedRNN(hidden_dim=H, cell_type="lstm", return_sequences=True)
+        # init inducing tensors from encoded samples
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(X))
+        feats = np.asarray(enc.apply(v, jnp.asarray(X)))
+        Z = gp_utils.suggest_initial_inducing_tensors(feats, M, 6, seed=0)
+        kern = kernels.SignatureRBF(H, M)
+        ind = InducingTensors(Z, M)
+        svgp = SVGP(kern, ind, likelihoods.Bernoulli(), num_latent=1, num_data=N)
+        model = EncoderSVGP(enc, svgp)
+        params = model.init_params(jax.random.PRNGKey(1), X[:2])
+        Xj, Yj = jnp.asarray(X), jnp.asarray(y[:, None])
+
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(model.loss)(p, Xj, Yj)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+
+        p, s, l0 = step(params, state)
+        for _ in range(10):
+            p, s, loss = step(p, s)
+        assert float(loss) < float(l0)
+        # encoder params actually move
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), params["enc"], p["enc"]
+        )
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_gprnn_predicts(self):
+        # GPRNN: final hidden state -> vector RBF SVGP
+        N, L, d, H = 12, 8, 2, 4
+        X = RNG.randn(N, L, d)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        enc = MaskedRNN(hidden_dim=H, cell_type="gru", return_sequences=False)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(X))
+        feats = np.asarray(enc.apply(v, jnp.asarray(X)))
+        kern = vector_kernels.VectorKernel(H)
+        ind = vector_kernels.InducingPoints(feats[:6])
+        svgp = SVGP(kern, ind, likelihoods.Bernoulli(), num_latent=1, num_data=N)
+        model = EncoderSVGP(enc, svgp)
+        params = model.init_params(jax.random.PRNGKey(1), X[:2])
+        pm, pv = model.predict_y(params, jnp.asarray(X))
+        assert pm.shape == (N, 1)
+        assert np.all(np.asarray(pv) >= 0)
+        ld = model.predict_log_density(params, jnp.asarray(X), jnp.asarray(y[:, None]))
+        assert np.all(np.isfinite(np.asarray(ld)))
