@@ -30,6 +30,32 @@ import time
 import numpy as np
 
 
+def _numpy_f64_reference(X, num_levels):
+    """Normalized level-sum signature Gram (SignatureRBF, unit params) in
+    float64 numpy — the agreement oracle for the fast path."""
+    N, L, d = X.shape
+    flat = X.reshape(N * L, d)
+    sq = (flat ** 2).sum(-1)
+    G = np.exp(-(sq[:, None] + sq[None, :] - 2 * flat @ flat.T) / 2)
+    M4 = G.reshape(N, L, N, L)
+    Mi = M4[:, 1:, :, 1:] + M4[:, :-1, :, :-1] - M4[:, :-1, :, 1:] - M4[:, 1:, :, :-1]
+    levels = [np.ones((N, N)), Mi.sum((1, 3))]
+    R = Mi
+    for _ in range(2, num_levels + 1):
+        C = np.cumsum(np.cumsum(R, axis=1), axis=3)
+        C = np.roll(C, 1, 1)
+        C[:, 0] = 0
+        C = np.roll(C, 1, 3)
+        C[:, :, :, 0] = 0
+        R = Mi * C
+        levels.append(R.sum((1, 3)))
+    K = np.stack(levels)
+    K += 1e-6 * np.eye(N)[None]
+    dsqrt = np.sqrt(np.einsum("mii->mi", K))
+    K = K / (dsqrt[:, :, None] * dsqrt[:, None, :])
+    return K.sum(0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -38,19 +64,16 @@ def main():
     args = ap.parse_args()
 
     import jax
-
-    jax.config.update("jax_enable_x64", True)  # for the f64 baseline leg
-
     import jax.numpy as jnp
 
     from gpsig_tpu import kernels
 
     if args.quick:
         N, L, d, M, reps = 64, 50, 3, 4, 2
-        N_ref = 32
+        N_ref = 48
     else:
         N, L, d, M, reps = 1000, 200, 3, 4, 3
-        N_ref = 64
+        N_ref = 96  # large enough that compute dwarfs the dispatch overhead
 
     rng = np.random.RandomState(0)
     X = jnp.asarray((rng.randn(N, L, d) / np.sqrt(L)).astype(np.float32))
@@ -64,26 +87,34 @@ def main():
     # - block_until_ready does not synchronize through the tunnel; a scalar
     #   checksum transfer is the sync point.
     def timed(fn, x, n_entries, reps):
-        def body(eps):
-            out = fn(x + eps)
-            return jnp.sum(out), jnp.any(~jnp.isfinite(out))
+        # reps unrolled at the Python level inside ONE jit call: the axon
+        # relay memoizes identical dispatches, adds ~0.5 s per dispatch, and
+        # cannot package pallas_call under lax.scan.
+        def body(eps_vec):
+            outs = [fn(x + e) for e in eps_vec]
+            return (
+                jnp.stack([jnp.sum(o) for o in outs]),
+                jnp.any(jnp.stack([jnp.any(~jnp.isfinite(o)) for o in outs])),
+            )
 
-        run = jax.jit(
-            lambda xs: jax.lax.map(lambda e: body(e), xs)
-        )
-        eps = jnp.asarray(
-            np.linspace(0, 1e-6, reps, dtype=np.float32)
-        )
+        run = jax.jit(body)
+        eps = tuple(np.linspace(0, 1e-6, reps, dtype=np.float32))
         sums, bad = run(eps)  # compile
         float(sums[0])
+        eps2 = tuple(e + np.float32(3e-6) for e in eps)
         t0 = time.perf_counter()
-        sums, bad = run(eps + np.float32(3e-6))
+        sums, bad = run(eps2)
         checks = np.asarray(sums)
         t = (time.perf_counter() - t0) / reps
         assert not bool(np.any(np.asarray(bad))), "non-finite Gram"
         assert np.all(np.isfinite(checks))
         return n_entries / t
 
+    # Headline: the blocked MXU path at full f32 precision (max|err| vs an
+    # f64 reference ~2e-2 on ill-conditioned normalized levels, ~1e-4
+    # typical).  The fused Pallas kernel (method='pallas') reaches ~2x this
+    # throughput in bf16 mode but with a looser worst-case error envelope;
+    # see gpsig_tpu/ops/signature_pallas.py.
     entries_per_sec = timed(
         lambda x: kern.K_blocked(params, x, block_size=args.block_size),
         X, N * N, reps,
@@ -92,20 +123,17 @@ def main():
     # --- reference-equivalent baseline (same chip, f32, unblocked graph) ---
     X_ref = X[:N_ref]
     ref_entries_per_sec = timed(
-        lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 2
+        lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 3
     )
-    K = jax.jit(lambda x: kern.K_blocked(params, x,
-                                         block_size=args.block_size))(X)
+    K = jax.jit(
+        lambda x: kern.K_blocked(params, x, block_size=args.block_size)
+    )(X)
 
-    # numerical agreement of the fast path vs an f64 run of the same subset
-    X64 = jnp.asarray(np.asarray(X_ref, dtype=np.float64))
-    params64 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float64), params)
+    # numerical agreement of the fast path vs a float64 numpy reference of
+    # the same subset (x64 can't be enabled process-wide alongside Pallas)
+    K64 = _numpy_f64_reference(np.asarray(X_ref, np.float64), M)
     max_err = float(
-        jax.jit(
-            lambda p, x: jnp.max(
-                jnp.abs(K[:N_ref, :N_ref] - kern.K(p, x).astype(jnp.float32))
-            )
-        )(params64, X64)
+        np.max(np.abs(np.asarray(K[:N_ref, :N_ref], np.float64) - K64))
     )
 
     result = {

@@ -391,12 +391,19 @@ class SignatureKernel:
 
     def K_blocked(self, params: dict, X, X2=None, *,
                   block_size: int = 16, diag_block_size: int = 64,
-                  return_levels: bool = False, fast_math: bool = False):
+                  return_levels: bool = False, fast_math: bool = False,
+                  method: str = "xla"):
         """Memory-bounded Gram for large N / long L (order-1 path).
 
         Equivalent to :meth:`K` but evaluated over ``(block, block)`` example
-        tiles with the level recursion on the MXU — peak memory
-        O(block^2 L^2) instead of O(N^2 L^2).  See ``gpsig_tpu.ops.gram``.
+        tiles — peak memory O(block^2 L^2) instead of O(N^2 L^2).
+
+        method:
+          'xla'    — blocked lax.map evaluation with MXU cumsums
+                     (``gpsig_tpu.ops.gram``); differentiable.
+          'pallas' — fully fused VMEM-resident kernel
+                     (``gpsig_tpu.ops.signature_pallas``); fastest, forward
+                     only, base kernel must be 'rbf' or 'linear'.
         """
         if self.order != 1:
             raise NotImplementedError("K_blocked supports order=1 only")
@@ -412,6 +419,22 @@ class SignatureKernel:
         Xs = self._scale_sequences(cp, X)
         kern = self._base_kern(cp)
         jitter = cfg.jitter()
+
+        if method == "pallas":
+            if jax.config.jax_enable_x64:
+                raise ValueError(
+                    "method='pallas' is incompatible with jax_enable_x64 "
+                    "(Mosaic tracing recurses on x64 weak types); use "
+                    "method='xla' for float64 validation runs"
+                )
+            return self._k_pallas(
+                cp, Xs, X2, block_size=block_size,
+                diag_block_size=diag_block_size,
+                return_levels=return_levels, fast_math=fast_math,
+                precision=precision,
+            )
+        if method != "xla":
+            raise ValueError(f"unknown method {method!r}")
 
         if X2 is None:
             K_lvls = gram_ops.blocked_first_order_levels(
@@ -447,6 +470,54 @@ class SignatureKernel:
                     * jnp.sqrt(d2 + jitter)[:, None, :]
                 )
 
+        return self._finalize(self._level_scale(cp, K_lvls), return_levels)
+
+    def _k_pallas(self, cp, Xs, X2, *, block_size, diag_block_size,
+                  return_levels, fast_math, precision):
+        """Fused-kernel Gram with XLA-path diagonals for normalization."""
+        from .ops import gram as gram_ops
+        from .ops import signature_pallas as sp
+
+        base = self.base
+        jitter = cfg.jitter()
+        kern = self._base_kern(cp)
+        symm = X2 is None
+        if not symm:
+            X2 = _as_sequences(X2, self.num_features)
+            X2s = self._scale_sequences(cp, X2)
+        else:
+            X2s = None
+
+        K_lvls = sp.fused_first_order_levels(
+            Xs, X2s, num_levels=self.num_levels, base=base,
+            difference=self.difference, block_i=block_size,
+            block_j=max(8, block_size // 2), fast_math=fast_math,
+        )
+        if self.normalization:
+            if symm:
+                # normalize with the fused Gram's OWN diagonal: per-level
+                # diagonals can be near zero (e.g. level 1 for paths whose
+                # endpoints almost coincide), and only correlated
+                # numerator/denominator errors cancel in the ratio
+                K_lvls = K_lvls + jitter * jnp.eye(
+                    K_lvls.shape[1], dtype=K_lvls.dtype
+                )[None]
+                d1s = jnp.sqrt(jnp.diagonal(K_lvls, axis1=-2, axis2=-1))
+                d2s = d1s
+            else:
+                d1 = gram_ops.blocked_first_order_levels_diag(
+                    kern, Xs, num_levels=self.num_levels,
+                    difference=self.difference, block_size=diag_block_size,
+                    precision=precision,
+                )
+                d1s = jnp.sqrt(d1 + jitter)
+                d2 = gram_ops.blocked_first_order_levels_diag(
+                    kern, X2s, num_levels=self.num_levels,
+                    difference=self.difference, block_size=diag_block_size,
+                    precision=precision,
+                )
+                d2s = jnp.sqrt(d2 + jitter)
+            K_lvls = K_lvls / (d1s[:, :, None] * d2s[:, None, :])
         return self._finalize(self._level_scale(cp, K_lvls), return_levels)
 
     def _joint_nystrom_samples(self, key, flat1, flat2):
