@@ -53,3 +53,11 @@ def set_default_float(dtype) -> None:
 
 def set_jitter(value: float) -> None:
     _CONFIG.jitter = float(value)
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    """Opt-in NaN tripwire (SURVEY.md §5 'sanitizers'): every jitted
+    computation re-runs eagerly and raises at the first NaN-producing op."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enable))

@@ -403,10 +403,8 @@ class SignatureKernel:
                      (``gpsig_tpu.ops.gram``); differentiable.
           'pallas' — fully fused VMEM-resident kernel
                      (``gpsig_tpu.ops.signature_pallas``); fastest, forward
-                     only, base kernel must be 'rbf' or 'linear'.
+                     only, order=1, base kernel must be 'rbf' or 'linear'.
         """
-        if self.order != 1:
-            raise NotImplementedError("K_blocked supports order=1 only")
         if self.low_rank:
             raise ValueError("use K() for the low-rank path")
         from .ops import gram as gram_ops
@@ -421,6 +419,10 @@ class SignatureKernel:
         jitter = cfg.jitter()
 
         if method == "pallas":
+            if self.order != 1:
+                raise NotImplementedError(
+                    "method='pallas' supports order=1; use method='xla'"
+                )
             if jax.config.jax_enable_x64:
                 raise ValueError(
                     "method='pallas' is incompatible with jax_enable_x64 "
@@ -438,7 +440,7 @@ class SignatureKernel:
 
         if X2 is None:
             K_lvls = gram_ops.blocked_first_order_levels(
-                kern, Xs, num_levels=self.num_levels,
+                kern, Xs, num_levels=self.num_levels, order=self.order,
                 difference=self.difference, block_size=block_size,
                 precision=precision,
             )
@@ -450,7 +452,7 @@ class SignatureKernel:
             X2 = _as_sequences(X2, self.num_features)
             X2s = self._scale_sequences(cp, X2)
             K_lvls = gram_ops.blocked_first_order_levels(
-                kern, Xs, X2s, num_levels=self.num_levels,
+                kern, Xs, X2s, num_levels=self.num_levels, order=self.order,
                 difference=self.difference, block_size=block_size,
                 precision=precision,
             )
@@ -506,13 +508,13 @@ class SignatureKernel:
                 d2s = d1s
             else:
                 d1 = gram_ops.blocked_first_order_levels_diag(
-                    kern, Xs, num_levels=self.num_levels,
+                    kern, Xs, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
                     precision=precision,
                 )
                 d1s = jnp.sqrt(d1 + jitter)
                 d2 = gram_ops.blocked_first_order_levels_diag(
-                    kern, X2s, num_levels=self.num_levels,
+                    kern, X2s, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
                     precision=precision,
                 )

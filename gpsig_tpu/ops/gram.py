@@ -75,6 +75,53 @@ def first_order_levels_batched(M, num_levels: int, *, difference: bool = True,
     return jnp.stack(K, axis=0)
 
 
+def higher_order_levels_batched(M, num_levels: int, order: int, *,
+                                difference: bool = True,
+                                precision=lax.Precision.HIGHEST):
+    """Higher-order level stack for a batch of (L1, L2) increment Grams.
+
+    Matches ``signature.signature_kern_higher_order`` (the (order x order)
+    grid of partial tensors with 1/j, 1/k scalings,
+    `signature_algs.py:60-72`), with the exclusive cumsums evaluated as
+    triangular-ones matmuls on the MXU.
+    """
+    if difference:
+        M = (
+            M[..., 1:, 1:] + M[..., :-1, :-1]
+            - M[..., :-1, 1:] - M[..., 1:, :-1]
+        )
+    L1, L2 = M.shape[-2], M.shape[-1]
+    A1 = _tri_ones(L1, M.dtype)  # strictly lower: row-exclusive cumsum
+    A2 = _tri_ones(L2, M.dtype).T  # strictly upper: col-exclusive cumsum
+
+    def cum_rows(R):
+        return jnp.einsum("kl,...lm->...km", A1, R, precision=precision)
+
+    def cum_cols(R):
+        return jnp.einsum("...lm,mn->...ln", R, A2, precision=precision)
+
+    batch_shape = M.shape[:-2]
+    K = [jnp.ones(batch_shape, dtype=M.dtype), jnp.sum(M, axis=(-2, -1))]
+
+    R = {(0, 0): M}
+    for i in range(2, num_levels + 1):
+        d = min(i, order)
+        R_next = {}
+        R_sum = sum(R.values())
+        R_next[(0, 0)] = M * cum_rows(cum_cols(R_sum))
+        for j in range(2, d + 1):
+            row_sum = sum(R[(a, j - 2)] for a in range(d) if (a, j - 2) in R)
+            col_sum = sum(R[(j - 2, b)] for b in range(d) if (j - 2, b) in R)
+            R_next[(0, j - 1)] = (1.0 / j) * M * cum_rows(row_sum)
+            R_next[(j - 1, 0)] = (1.0 / j) * M * cum_cols(col_sum)
+            for k in range(2, d + 1):
+                R_next[(j - 1, k - 1)] = (1.0 / (j * k)) * M * R[(j - 2, k - 2)]
+        K.append(jnp.sum(sum(R_next.values()), axis=(-2, -1)))
+        R = R_next
+
+    return jnp.stack(K, axis=0)
+
+
 def _pad_examples(X, block: int):
     N = X.shape[0]
     n_blocks = -(-N // block)
@@ -85,6 +132,7 @@ def _pad_examples(X, block: int):
 
 
 def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
+                               order: int = 1,
                                difference: bool = True, block_size: int = 16,
                                precision=lax.Precision.HIGHEST):
     """(M+1, N1, N2) per-level seq-vs-seq kernels, blocked over examples.
@@ -113,9 +161,15 @@ def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
         ).reshape(B, L1, B, L2)
         # (B, B, L1, L2) layout: time axes minor -> MXU-friendly recursion
         G = jnp.transpose(G, (0, 2, 1, 3))
-        lvls = first_order_levels_batched(
-            G, num_levels, difference=difference, precision=precision
-        )  # (M+1, B, B)
+        if order == 1:
+            lvls = first_order_levels_batched(
+                G, num_levels, difference=difference, precision=precision
+            )  # (M+1, B, B)
+        else:
+            lvls = higher_order_levels_batched(
+                G, num_levels, order, difference=difference,
+                precision=precision,
+            )
         return lvls
 
     def row(i):
@@ -129,6 +183,7 @@ def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
 
 
 def blocked_first_order_levels_diag(base_kern, X, *, num_levels: int,
+                                    order: int = 1,
                                     difference: bool = True,
                                     block_size: int = 64,
                                     precision=lax.Precision.HIGHEST):
@@ -140,9 +195,13 @@ def blocked_first_order_levels_diag(base_kern, X, *, num_levels: int,
     def tile(i):
         Xi = lax.dynamic_slice(Xp, (i * B, 0, 0), (B, L, d))
         G = base_kern(Xi)  # (B, L, L) batched
-        return first_order_levels_batched(
-            G, num_levels, difference=difference, precision=precision
-        )  # (M+1, B)
+        if order == 1:
+            return first_order_levels_batched(
+                G, num_levels, difference=difference, precision=precision
+            )  # (M+1, B)
+        return higher_order_levels_batched(
+            G, num_levels, order, difference=difference, precision=precision
+        )
 
     K = lax.map(tile, jnp.arange(nb))  # (nb, M+1, B)
     return jnp.transpose(K, (1, 0, 2)).reshape(num_levels + 1, nb * B)[:, :N]

@@ -89,10 +89,16 @@ def _sparse_gaussian_matrix(key, D: int, num_components: int, s, dtype):
 
 
 def lr_hadamard_prod_sparse(key, A, B, num_components: int,
-                            sparsity: str = "sqrt"):
+                            sparsity: str = "sqrt", *,
+                            chunk_rows: int = 1 << 15):
     """Randomized Hadamard product via Very Sparse JL projection.
 
     A: ``(..., k1)``, B: ``(..., k2)`` -> ``(..., num_components)``.
+
+    The (batch, k1*k2) outer-product intermediate is built in row chunks of
+    ``chunk_rows`` (one MXU matmul each), so memory stays bounded for
+    long-sequence / large-N batches (the N*L batch axis easily reaches 1e7
+    at the low-rank path's target scale).
     """
     k1, k2 = A.shape[-1], B.shape[-1]
     D = k1 * k2
@@ -103,10 +109,31 @@ def lr_hadamard_prod_sparse(key, A, B, num_components: int,
     else:
         raise ValueError(f"Unknown sparsity {sparsity!r}")
     s = jnp.asarray(s, dtype=A.dtype)
-    E = lr_hadamard_prod(A, B)  # (..., D)
     R = _sparse_gaussian_matrix(key, D, num_components, s, A.dtype)
     scale = jnp.sqrt(s / num_components)
-    return scale * jnp.matmul(E, R, preferred_element_type=A.dtype)
+
+    batch_shape = A.shape[:-1]
+    Af = A.reshape(-1, k1)
+    Bf = B.reshape(-1, k2)
+    n = Af.shape[0]
+
+    def project(a_rows, b_rows):
+        E = (a_rows[:, :, None] * b_rows[:, None, :]).reshape(-1, D)
+        return jnp.matmul(E, R, preferred_element_type=A.dtype)
+
+    if n <= chunk_rows:
+        C = project(Af, Bf)
+    else:
+        n_chunks = -(-n // chunk_rows)
+        pad = n_chunks * chunk_rows - n
+        Af = jnp.concatenate([Af, jnp.zeros((pad, k1), A.dtype)], axis=0)
+        Bf = jnp.concatenate([Bf, jnp.zeros((pad, k2), B.dtype)], axis=0)
+        C = jax.lax.map(
+            lambda ab: project(*ab),
+            (Af.reshape(n_chunks, chunk_rows, k1),
+             Bf.reshape(n_chunks, chunk_rows, k2)),
+        ).reshape(n_chunks * chunk_rows, num_components)[:n]
+    return scale * C.reshape(*batch_shape, num_components)
 
 
 def lr_hadamard_prod_subsample(key, A, B, num_components: int):

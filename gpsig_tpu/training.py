@@ -73,6 +73,7 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
              history: dict | None = None,
              save_best_params: bool = False, patience: int | None = None,
              print_freq: int = 50, save_freq: int = 50,
+             checkpoint_path: str | None = None,
              log_fn=print) -> dict:
     """Run an optimization phase.
 
@@ -87,6 +88,9 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
       val_scorer: callable(params) -> score or list of scores (last one used
         for best/patience tracking), evaluated every ``save_freq`` steps.
       history: resumable history dict (`training.py:166-183` semantics).
+      checkpoint_path: optional file; params (+ iteration) are saved there
+        atomically every ``save_freq`` steps and on phase end, so crashed
+        runs restart from disk (SURVEY.md §5 checkpoint/resume).
 
     Returns the updated history; ``history['final_params']`` holds the last
     params and ``history['best']['params']`` the best-on-validation ones.
@@ -124,6 +128,11 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
             log_fn(f"iter {it} | time {now:.1f}s | loss {float(loss):.4f}")
 
         if it % save_freq == 0 or it == start_iter + max_iter:
+            if checkpoint_path is not None:
+                from . import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path,
+                          {"params": params, "iter": np.asarray(it)})
             rec: dict[str, Any] = {"time": now, "loss": float(loss),
                                    "elbo": -float(loss)}
             if val_scorer is not None:

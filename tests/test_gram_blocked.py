@@ -62,3 +62,28 @@ def test_blocked_jits():
     np.testing.assert_allclose(
         np.asarray(f(p, X)), np.asarray(k.K(p, X)), rtol=1e-8
     )
+
+
+def test_blocked_higher_order_matches_direct():
+    X = RNG.randn(6, 8, 2)
+    for order in (2, 3):
+        k = kernels.SignatureRBF(2, 3, order=order, normalization=True)
+        p = k.init_params()
+        K_direct = k.K(p, jnp.asarray(X))
+        K_blocked = k.K_blocked(p, jnp.asarray(X), block_size=2)
+        np.testing.assert_allclose(
+            np.asarray(K_blocked), np.asarray(K_direct), rtol=1e-8,
+            err_msg=f"order={order}",
+        )
+
+
+def test_blocked_higher_order_cross():
+    X, X2 = RNG.randn(5, 7, 2), RNG.randn(4, 7, 2)
+    k = kernels.SignatureLinear(2, 4, order=4, normalization=False,
+                                lengthscales=None)
+    p = k.init_params()
+    K_direct = k.K(p, jnp.asarray(X), jnp.asarray(X2))
+    K_blocked = k.K_blocked(p, jnp.asarray(X), jnp.asarray(X2), block_size=2)
+    np.testing.assert_allclose(
+        np.asarray(K_blocked), np.asarray(K_direct), rtol=1e-8
+    )

@@ -1,0 +1,98 @@
+"""SVGP variants: unwhitened VI, diagonal q_sqrt, checkpointed training."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpsig_tpu import (
+    SVGP, InducingTensors, checkpoint, kernels, likelihoods, training,
+    utils as gp_utils,
+)
+
+RNG = np.random.RandomState(31)
+
+
+def _setup(whiten=True, q_diag=False, n=24, L=10, d=2, M=2, n_ind=8):
+    X = RNG.randn(n, L, d)
+    y = (X[:, :, 0].mean(axis=1) > 0).astype(np.float64)
+    Z = gp_utils.suggest_initial_inducing_tensors(X, M, n_ind, seed=0)
+    kern = kernels.SignatureRBF(d, M)
+    ind = InducingTensors(Z, M)
+    model = SVGP(kern, ind, likelihoods.Bernoulli(), num_latent=1,
+                 num_data=n, whiten=whiten, q_diag=q_diag)
+    return model, model.init_params(), jnp.asarray(X), jnp.asarray(y[:, None])
+
+
+def test_unwhitened_elbo_trains():
+    model, params, X, Y = _setup(whiten=False)
+    e0 = float(model.elbo(params, X, Y))
+    assert np.isfinite(e0)
+    opt = optax.nadam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(model.loss)(p, X, Y)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    p, s = params, state
+    for _ in range(30):
+        p, s, loss = step(p, s)
+    assert float(model.elbo(p, X, Y)) > e0
+
+
+def test_whitened_and_unwhitened_agree_at_init():
+    # with q_mu = 0 and q_sqrt = I, whitened and unwhitened predictions both
+    # reduce to the prior mean 0 with prior variances
+    m_w, p_w, X, Y = _setup(whiten=True)
+    m_u, p_u, _, _ = _setup(whiten=False)
+    mean_w, _ = m_w.predict_f(p_w, X)
+    mean_u, _ = m_u.predict_f(p_u, X)
+    np.testing.assert_allclose(np.asarray(mean_w), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_u), 0.0, atol=1e-12)
+
+
+def test_q_diag_paths():
+    model, params, X, Y = _setup(q_diag=True)
+    assert params["q_sqrt"].ndim == 2
+    e = float(model.elbo(params, X, Y))
+    assert np.isfinite(e)
+    g = jax.grad(lambda p: model.loss(p, X, Y))(params)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+    # q_diag with identity q_sqrt matches full q_sqrt at init
+    m_full, p_full, _, _ = _setup(q_diag=False)
+    np.testing.assert_allclose(
+        float(m_full.elbo(p_full, X, Y)), e, rtol=1e-10
+    )
+
+
+def test_checkpointed_training(tmp_path):
+    model, params, X, Y = _setup()
+    path = str(tmp_path / "run.ckpt")
+    hist = training.optimize(
+        lambda p, x, y: model.loss(p, x, y), params, optax.nadam(1e-2),
+        max_iter=6, data_iter=iter(lambda: (X, Y), None),
+        save_freq=3, print_freq=100, checkpoint_path=path,
+    )
+    assert os.path.exists(path)
+    restored = checkpoint.restore(
+        path, {"params": params, "iter": np.asarray(0)}
+    )
+    assert int(restored["iter"]) == 6
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(hist["final_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_nan_debug_toggle():
+    from gpsig_tpu import config as cfg
+
+    cfg.enable_nan_debugging(True)
+    assert jax.config.jax_debug_nans
+    cfg.enable_nan_debugging(False)
+    assert not jax.config.jax_debug_nans
