@@ -42,7 +42,10 @@ def main():
                 epochs_cap=args.epochs_cap, seed=0,
             )
             scores[H] = res["val_nlpp"]
-        best_H = min(scores, key=scores.get)
+        # reference's selection rule (`process_gridsearch.ipynb` cell 7):
+        # smallest architecture within 10% of the best validation nlpp
+        best_nlpp = min(scores.values())
+        best_H = min(H for H, v in scores.items() if v <= 1.1 * best_nlpp)
         arch.setdefault(name, {})[f"gp{args.rnn_type}"] = {
             "num_hidden": best_H, "dropout": 0.0,
         }

@@ -24,7 +24,7 @@ def synth_dataset(tmp_path_factory):
         X, y = [], []
         for i in range(n):
             c = i % 3
-            L = rng.randint(8, 14)
+            L = rng.randint(6, 10)
             t = np.linspace(0, 1, L)
             base = np.stack([np.sin((c + 1) * 3 * t), t * (c - 1)], axis=1)
             X.append(base + 0.05 * rng.randn(L, 2))
@@ -34,8 +34,8 @@ def synth_dataset(tmp_path_factory):
             Xo[i] = x
         return Xo, np.asarray(y, dtype=np.float64)
 
-    X_train, y_train = make(36)
-    X_test, y_test = make(18)
+    X_train, y_train = make(24)
+    X_test, y_test = make(12)
     savemat(
         os.path.join(tmp, "Synth.mat"),
         {"X_train": X_train, "y_train": y_train,
@@ -65,7 +65,7 @@ class TestLoadDataset:
         assert Xv is not None
         assert len(yv) >= 6  # 2-per-class floor
         assert set(np.unique(yv)) == {0, 1, 2}
-        assert len(ytr) + len(yv) == 36
+        assert len(ytr) + len(yv) == 24
 
     def test_nan_padding_for_kconv(self, synth_dataset):
         Xtr, *_ = datasets.load_dataset(
@@ -82,9 +82,9 @@ class TestLoadDataset:
 
     def test_max_len_pooling(self, synth_dataset):
         Xtr, *_ = datasets.load_dataset(
-            "Synth", data_dir=synth_dataset, for_model="sig", max_len=6
+            "Synth", data_dir=synth_dataset, for_model="sig", max_len=5
         )
-        assert Xtr.shape[1] <= 6
+        assert Xtr.shape[1] <= 5
 
     def test_missing_dataset_message(self, synth_dataset):
         with pytest.raises(FileNotFoundError):
@@ -96,9 +96,9 @@ class TestTrainerRecipes:
         from benchmarks.models import train_gpsig_classifier
 
         res = train_gpsig_classifier(
-            "Synth", num_levels=2, num_inducing=8, minibatch_size=12,
-            max_len=12, val_split=0.25, data_dir=synth_dataset,
-            save_dir=str(tmp_path), epochs_cap=3, experiment_idx=0,
+            "Synth", num_levels=2, num_inducing=6, minibatch_size=12,
+            max_len=8, val_split=0.25, data_dir=synth_dataset,
+            save_dir=str(tmp_path), epochs_cap=1, experiment_idx=0,
         )
         assert 0.0 <= res["test_acc"] <= 1.0
         assert np.isfinite(res["test_nlpp"])
@@ -110,9 +110,9 @@ class TestTrainerRecipes:
         from benchmarks.models import train_gpkconv1d_classifier
 
         res = train_gpkconv1d_classifier(
-            "Synth", num_inducing=8, minibatch_size=12, max_len=12,
+            "Synth", num_inducing=6, minibatch_size=12, max_len=8,
             len_windows=3, val_split=0.25, data_dir=synth_dataset,
-            save_dir=str(tmp_path), epochs_cap=2, experiment_idx=0,
+            save_dir=str(tmp_path), epochs_cap=1, experiment_idx=0,
         )
         assert np.isfinite(res["test_nlpp"])
 
@@ -120,9 +120,9 @@ class TestTrainerRecipes:
         from benchmarks.models import train_gprnn_classifier
 
         res = train_gprnn_classifier(
-            "Synth", num_inducing=6, num_hidden=4, minibatch_size=12,
-            max_len=12, val_split=0.25, data_dir=synth_dataset,
-            save_dir=str(tmp_path), epochs_cap=2, experiment_idx=0,
+            "Synth", num_inducing=5, num_hidden=3, minibatch_size=12,
+            max_len=8, val_split=0.25, data_dir=synth_dataset,
+            save_dir=str(tmp_path), epochs_cap=1, experiment_idx=0,
         )
         assert np.isfinite(res["test_nlpp"])
 
@@ -130,9 +130,9 @@ class TestTrainerRecipes:
         from benchmarks.models import train_gpsigrnn_classifier
 
         res = train_gpsigrnn_classifier(
-            "Synth", num_levels=2, num_inducing=6, num_hidden=4,
-            minibatch_size=12, max_len=12, val_split=0.25,
-            data_dir=synth_dataset, save_dir=str(tmp_path), epochs_cap=2,
+            "Synth", num_levels=2, num_inducing=5, num_hidden=3,
+            minibatch_size=12, max_len=8, val_split=0.25,
+            data_dir=synth_dataset, save_dir=str(tmp_path), epochs_cap=1,
             experiment_idx=0,
         )
         assert np.isfinite(res["test_nlpp"])

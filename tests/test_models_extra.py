@@ -63,13 +63,13 @@ class TestConv1D:
         np.testing.assert_allclose(K, Kp, rtol=1e-9)
 
     def test_inducing_windows_svgp(self):
-        X = RNG.randn(12, 10, 2)
-        y = RNG.randint(0, 2, 12).astype(np.float64)
-        w = 4
+        X = RNG.randn(8, 8, 2)
+        y = RNG.randint(0, 2, 8).astype(np.float64)
+        w = 3
         k = kconv.Conv1DKernel(2, w)
-        Z = RNG.randn(6, w, 2)
+        Z = RNG.randn(5, w, 2)
         ind = kconv.InducingWindows(Z)
-        m = SVGP(k, ind, likelihoods.Bernoulli(), num_latent=1, num_data=12)
+        m = SVGP(k, ind, likelihoods.Bernoulli(), num_latent=1, num_data=8)
         params = m.init_params()
         e = float(m.elbo(params, jnp.asarray(X), jnp.asarray(y[:, None])))
         assert np.isfinite(e)

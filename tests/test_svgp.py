@@ -221,7 +221,7 @@ class TestSVGPEndToEnd:
         assert np.all(np.isfinite(np.asarray(lds)))
 
     def test_multiclass_and_inducing_sequences(self):
-        X, y = _toy_classification(n_per_class=12)
+        X, y = _toy_classification(n_per_class=8, L=12)
         y3 = y.copy()
         y3[:8] = 2  # make a (noisy) third class for shape coverage
         num_levels = 3
