@@ -9,9 +9,12 @@ Pallas Gram kernels, pjit/shard_map scale-out, optax training.
 from . import config, params  # noqa: F401
 from . import ops  # noqa: F401
 from . import kernels, likelihoods, linalg, inducing, training  # noqa: F401
+from . import checkpoint, kconv, metrics, profiling, vector_kernels  # noqa: F401
 from . import preprocessing, utils  # noqa: F401
-from . import models  # noqa: F401
+from . import models, parallel  # noqa: F401
 from .inducing import InducingSequences, InducingTensors  # noqa: F401
 from .models import SVGP  # noqa: F401
+
+# datasets is imported lazily by callers (pulls scipy only when used)
 
 __version__ = "0.1.0"

@@ -96,3 +96,15 @@ def test_nan_debug_toggle():
     assert jax.config.jax_debug_nans
     cfg.enable_nan_debugging(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_jit_determinism():
+    """Two identical jitted ELBO+grad evaluations are bitwise equal
+    (SURVEY.md §5: jit-level determinism in place of race detection)."""
+    model, params, X, Y = _setup(n=12, L=8)
+    f = jax.jit(jax.value_and_grad(lambda p: model.loss(p, X, Y)))
+    l1, g1 = f(params)
+    l2, g2 = f(params)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
