@@ -56,12 +56,93 @@ def _numpy_f64_reference(X, num_levels):
     return K.sum(0)
 
 
+def bench_svgp(quick: bool = False):
+    """Secondary metric (BASELINE.json): SVGP ELBO steps/sec at the
+    reference's benchmark configuration (`run_gpsig_benchmarks.py:32-33`:
+    M=4, 500 incremental inducing tensors, minibatch 50, SignatureRBF;
+    ArabicDigits-like shapes d=14 incl. time, L=93 -> padded)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpsig_tpu import (
+        SVGP, InducingTensors, kernels, likelihoods, training,
+        utils as gp_utils,
+    )
+
+    rng = np.random.RandomState(0)
+    if quick:
+        N, L, d, M, n_ind, batch, C = 200, 40, 6, 3, 100, 50, 4
+    else:
+        N, L, d, M, n_ind, batch, C = 2000, 93, 14, 4, 500, 50, 10
+    X = rng.randn(N, L, d).astype(np.float32)
+    y = rng.randint(0, C, N)
+
+    Z = gp_utils.suggest_initial_inducing_tensors(
+        X, M, n_ind, labels=y, increments=True, seed=0
+    )
+    kern = kernels.SignatureRBF(
+        d, M, lengthscales=gp_utils.suggest_initial_lengthscales(X, 1000)
+    )
+    model = SVGP(kern, InducingTensors(Z, M, increments=True),
+                 likelihoods.MultiClass(C), num_latent=C, num_data=N)
+    params = jax.tree.map(
+        lambda v: jnp.asarray(v, jnp.float32), model.init_params()
+    )
+    opt = optax.nadam(1e-3)
+    state = opt.init(params)
+    Xd = jnp.asarray(X)
+    Yd = jnp.asarray(y[:, None], jnp.float32)
+
+    def step(p, s, xb, yb):
+        loss, g = jax.value_and_grad(model.loss)(p, xb, yb)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    reps = 10
+
+    @jax.jit
+    def run(p, s):
+        # unrolled steps over distinct minibatches in ONE dispatch
+        # (axon relay memoizes identical calls; see timing notes above)
+        losses = []
+        for i in range(reps):
+            xb = jax.lax.dynamic_slice_in_dim(Xd, i * batch, batch)
+            yb = jax.lax.dynamic_slice_in_dim(Yd, i * batch, batch)
+            p, s, loss = step(p, s, xb, yb)
+            losses.append(loss)
+        return p, s, jnp.stack(losses)
+
+    p, s, losses = run(params, state)
+    float(losses[0])
+    t0 = time.perf_counter()
+    p, s, losses = run(p, s)
+    lvals = np.asarray(losses)
+    t = (time.perf_counter() - t0) / reps
+    assert np.all(np.isfinite(lvals))
+    return {
+        "metric": f"SVGP ELBO steps/sec (N={N}, L={L}, d={d}, M={M}, "
+                  f"{n_ind} incr. inducing tensors, batch {batch}, "
+                  f"MultiClass C={C}, f32, 1 chip)",
+        "value": round(1.0 / t, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes (CI smoke), not the headline number")
     ap.add_argument("--block-size", type=int, default=8)
+    ap.add_argument("--svgp", action="store_true",
+                    help="report SVGP ELBO steps/sec instead of the Gram "
+                         "headline (no measurable reference baseline)")
     args = ap.parse_args()
+
+    if args.svgp:
+        print(json.dumps(bench_svgp(args.quick)))
+        return
 
     import jax
     import jax.numpy as jnp
