@@ -99,14 +99,18 @@ def higher_order_levels_batched(M, num_levels: int, order: int, *,
     A1 = _tri_ones(L1, M.dtype)  # strictly lower: row-exclusive cumsum
     A2 = _tri_ones(L2, M.dtype).T  # strictly upper: col-exclusive cumsum
 
+    # flatten leading dims (see first_order_levels_batched)
+    batch_shape = M.shape[:-2]
+    M = M.reshape((-1, L1, L2))
+
     def cum_rows(R):
-        return jnp.einsum("kl,...lm->...km", A1, R, precision=precision)
+        return jnp.einsum("kl,blm->bkm", A1, R, precision=precision)
 
     def cum_cols(R):
-        return jnp.einsum("...lm,mn->...ln", R, A2, precision=precision)
+        return jnp.einsum("blm,mn->bln", R, A2, precision=precision)
 
-    batch_shape = M.shape[:-2]
-    K = [jnp.ones(batch_shape, dtype=M.dtype), jnp.sum(M, axis=(-2, -1))]
+    K = [jnp.ones(batch_shape, dtype=M.dtype),
+         jnp.sum(M, axis=(-2, -1)).reshape(batch_shape)]
 
     R = {(0, 0): M}
     for i in range(2, num_levels + 1):
@@ -121,7 +125,9 @@ def higher_order_levels_batched(M, num_levels: int, order: int, *,
             R_next[(j - 1, 0)] = (1.0 / j) * M * cum_cols(col_sum)
             for k in range(2, d + 1):
                 R_next[(j - 1, k - 1)] = (1.0 / (j * k)) * M * R[(j - 2, k - 2)]
-        K.append(jnp.sum(sum(R_next.values()), axis=(-2, -1)))
+        K.append(
+            jnp.sum(sum(R_next.values()), axis=(-2, -1)).reshape(batch_shape)
+        )
         R = R_next
 
     return jnp.stack(K, axis=0)
