@@ -210,11 +210,13 @@ def main():
         lambda x: kern.K_blocked(params, x, block_size=args.block_size)
     )(X)
 
-    # numerical agreement of the fast path vs a float64 numpy reference of
-    # the same subset (x64 can't be enabled process-wide alongside Pallas)
-    K64 = _numpy_f64_reference(np.asarray(X_ref, np.float64), M)
+    # numerical agreement of the fast path vs a float64 numpy reference
+    # (smaller subset than the timing leg: the host has one CPU core and the
+    # f64 (N*L)^2 cumsums are the slowest part of this script)
+    N_chk = min(64, N_ref)
+    K64 = _numpy_f64_reference(np.asarray(X_ref[:N_chk], np.float64), M)
     max_err = float(
-        np.max(np.abs(np.asarray(K[:N_ref, :N_ref], np.float64) - K64))
+        np.max(np.abs(np.asarray(K[:N_chk, :N_chk], np.float64) - K64))
     )
 
     result = {
