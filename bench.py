@@ -191,24 +191,28 @@ def main():
         assert np.all(np.isfinite(checks))
         return n_entries / t
 
-    # Headline: the blocked MXU path at full f32 precision (max|err| vs an
-    # f64 reference ~2e-2 on ill-conditioned normalized levels, ~1e-4
-    # typical).  The fused Pallas kernel (method='pallas') reaches ~2x this
-    # throughput in bf16 mode but with a looser worst-case error envelope;
-    # see gpsig_tpu/ops/signature_pallas.py.
-    entries_per_sec = timed(
-        lambda x: kern.K_blocked(params, x, block_size=args.block_size),
-        X, N * N, reps,
-    )
+    # Headline: the fused Pallas kernel (forward + custom-VJP backward; see
+    # gpsig_tpu/ops/signature_pallas.py).  Cancellation-free increment
+    # algebra + accurate exp/expm1 keep the f32 error envelope ~1e-4 vs the
+    # f64 oracle (measured below and reported in the metric string); the
+    # level recursion runs as relayout-free 2-D MXU matmuls with
+    # upper-triangular cell skipping for the symmetric Gram.
+    def fast(x):
+        # fast_math='high': one-sided bf16x3 recursion matmuls (~f32
+        # accuracy at half the cost of HIGHEST; single-pass bf16 is ~1.6x
+        # faster still but its 0.4% R-rounding explodes to ~0.65 max error
+        # under per-level normalization at ill-conditioned entries)
+        return kern.K_blocked(params, x, block_size=16, method="pallas",
+                              fast_math="high")
+
+    entries_per_sec = timed(fast, X, N * N, reps)
 
     # --- reference-equivalent baseline (same chip, f32, unblocked graph) ---
     X_ref = X[:N_ref]
     ref_entries_per_sec = timed(
         lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 3
     )
-    K = jax.jit(
-        lambda x: kern.K_blocked(params, x, block_size=args.block_size)
-    )(X)
+    K = jax.jit(fast)(X)
 
     # numerical agreement of the fast path vs a float64 numpy reference
     # (smaller subset than the timing leg: the host has one CPU core and the
@@ -218,10 +222,12 @@ def main():
     max_err = float(
         np.max(np.abs(np.asarray(K[:N_chk, :N_chk], np.float64) - K64))
     )
+    assert max_err < 5e-3, f"fast-path error blew up: {max_err}"
 
     result = {
-        "metric": f"sig-gram entries/sec (N={N}, L={L}, M={M}, f32, 1 chip; "
-                  f"fast-vs-ref max|err|={max_err:.1e})",
+        "metric": f"sig-gram entries/sec (N={N}, L={L}, M={M}, f32 fused "
+                  f"pallas, 1 chip; fast-vs-f64-oracle "
+                  f"max|err|={max_err:.1e})",
         "value": round(entries_per_sec, 1),
         "unit": "entries/sec",
         "vs_baseline": round(entries_per_sec / ref_entries_per_sec, 2),

@@ -438,11 +438,15 @@ class SignatureKernel:
         if method != "xla":
             raise ValueError(f"unknown method {method!r}")
 
+        # cancellation-free increment Grams for bases with a closed form
+        # (rbf/linear); None falls back to naive second differencing
+        inc_cross, inc_diag = gram_ops.increment_gram_fns(self.base)
+
         if X2 is None:
             K_lvls = gram_ops.blocked_first_order_levels(
                 kern, Xs, num_levels=self.num_levels, order=self.order,
                 difference=self.difference, block_size=block_size,
-                precision=precision,
+                precision=precision, increment_fn=inc_cross,
             )
             if self.normalization:
                 K_lvls = K_lvls + jitter * jnp.eye(X.shape[0], dtype=K_lvls.dtype)[None]
@@ -454,18 +458,18 @@ class SignatureKernel:
             K_lvls = gram_ops.blocked_first_order_levels(
                 kern, Xs, X2s, num_levels=self.num_levels, order=self.order,
                 difference=self.difference, block_size=block_size,
-                precision=precision,
+                precision=precision, increment_fn=inc_cross,
             )
             if self.normalization:
                 d1 = gram_ops.blocked_first_order_levels_diag(
-                    kern, Xs, num_levels=self.num_levels,
+                    kern, Xs, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
-                    precision=precision,
+                    precision=precision, increment_diag_fn=inc_diag,
                 )
                 d2 = gram_ops.blocked_first_order_levels_diag(
-                    kern, X2s, num_levels=self.num_levels,
+                    kern, X2s, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
-                    precision=precision,
+                    precision=precision, increment_diag_fn=inc_diag,
                 )
                 K_lvls = K_lvls / (
                     jnp.sqrt(d1 + jitter)[:, :, None]
@@ -507,16 +511,17 @@ class SignatureKernel:
                 d1s = jnp.sqrt(jnp.diagonal(K_lvls, axis1=-2, axis2=-1))
                 d2s = d1s
             else:
+                _, inc_diag = gram_ops.increment_gram_fns(self.base)
                 d1 = gram_ops.blocked_first_order_levels_diag(
                     kern, Xs, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
-                    precision=precision,
+                    precision=precision, increment_diag_fn=inc_diag,
                 )
                 d1s = jnp.sqrt(d1 + jitter)
                 d2 = gram_ops.blocked_first_order_levels_diag(
                     kern, X2s, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,
-                    precision=precision,
+                    precision=precision, increment_diag_fn=inc_diag,
                 )
                 d2s = jnp.sqrt(d2 + jitter)
             K_lvls = K_lvls / (d1s[:, :, None] * d2s[:, None, :])

@@ -42,6 +42,165 @@ def _tri_ones(L: int, dtype):
     return (i > j).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# cancellation-free increment Grams (closed forms per base kernel)
+#
+# The reference forms k(s+1,t+1)+k(s,t)-k(s,t+1)-k(s+1,t)
+# (`signature_algs.py:26`), whose signal is O(1/L) of the Gram magnitude —
+# catastrophic cancellation in f32.  For the bases with a closed form the
+# cancellation is done in algebra instead (the same formulation as the fused
+# Pallas kernel, `signature_pallas.py:22-35`):
+#
+# * linear: <dx_s, dy_t> — one matmul of pre-differenced inputs (exact).
+# * rbf: with A(x,y) = -|x-y|^2/2,
+#     M = exp(A00) * (expm1(d01 + d10 + dxx) - expm1(d01) - expm1(d10))
+#   where d01 = A(x,y')-A(x,y) = <x,dy> - d(|y|^2)/2, d10 symmetric, and
+#   dxx = <dx,dy> are all *small* quantities computed directly from
+#   difference vectors; d(|x|^2) = <x'+x, dx> (no big-minus-big anywhere).
+# ---------------------------------------------------------------------------
+
+
+_LN2 = 0.6931471805599453
+_LN2_HI = 0.693359375  # exact in f32 (10 significant bits)
+_LN2_LO = -2.12194440e-4
+
+
+def exp_accurate(x):
+    """f32 exp with ~2e-7 relative error (TPU's native f32 exp is only
+    ~4e-6-relative, and that noise — multiplied into every increment-Gram
+    entry — random-walks across the (L-1)^2 level sums and then explodes
+    under per-level normalization when a diagonal is near zero).
+
+    Classic ldexp reduction: x = k*ln2 + r with two-part ln2 (so k*ln2_hi is
+    exact), 7-term Taylor on r in [-0.35, 0.35] (trunc err ~5e-9), scale by
+    2^k via exponent-bit construction.  f64 inputs use the native exp.
+    """
+    if x.dtype != jnp.float32:
+        return jnp.exp(x)
+    x = jnp.clip(x, -87.0, 88.0)
+    kf = jnp.round(x * jnp.float32(1.0 / _LN2))
+    r = (x - kf * jnp.float32(_LN2_HI)) - kf * jnp.float32(_LN2_LO)
+    p = r / 7.0
+    for c in (6.0, 5.0, 4.0, 3.0, 2.0):
+        p = (1.0 + p) * r / c
+    poly = 1.0 + (1.0 + p) * r
+    k32 = jnp.clip(kf, -126.0, 127.0).astype(jnp.int32)
+    two_k = lax.bitcast_convert_type((k32 + 127) << 23, jnp.float32)
+    return poly * two_k
+
+
+def _expm1_stable(x):
+    """exp(x) - 1 that stays *relatively* accurate for small f32 arguments.
+
+    XLA TPU's f32 expm1 has ~2e-5 relative error near zero and the error is
+    systematic, so it accumulates linearly over the (L-1)^2 level sums and
+    then explodes under per-level normalization (diagonals can be near 0).
+    A 6-term Taylor branch (rel err ~2e-7 at |x|=0.25, pure f32 arithmetic,
+    random rounding) fixes that; f64 inputs keep the exact native expm1.
+    """
+    if x.dtype != jnp.float32:
+        return jnp.expm1(x)
+    p = x / 6.0
+    for k in (5.0, 4.0, 3.0, 2.0):
+        p = (1.0 + p) * x / k
+    taylor = (1.0 + p) * x
+    return jnp.where(jnp.abs(x) < 0.25, taylor, exp_accurate(x) - 1.0)
+
+
+def _linear_increment_cross(Xa, Xb, precision):
+    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) linear increment Gram."""
+    dXa = Xa[:, 1:] - Xa[:, :-1]
+    dXb = Xb[:, 1:] - Xb[:, :-1]
+    return jnp.einsum("asd,btd->abst", dXa, dXb, precision=precision)
+
+
+def _linear_increment_diag(X, precision):
+    """(B, L, d) -> (B, L-1, L-1) per-example linear increment Grams."""
+    dX = X[:, 1:] - X[:, :-1]
+    return jnp.einsum("bsd,btd->bst", dX, dX, precision=precision)
+
+
+def _rbf_increment_cross(Xa, Xb, precision):
+    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) rbf increment Gram."""
+    Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
+    Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
+    # d(|x|^2)/(-2) per step, cancellation-free
+    dna = -0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1)  # (A, L1-1)
+    dnb = -0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1)  # (B, L2-1)
+    na = -0.5 * jnp.sum(jnp.square(Xa0), axis=-1)  # (A, L1-1)
+    nb = -0.5 * jnp.sum(jnp.square(Xb0), axis=-1)  # (B, L2-1)
+    inner = jnp.einsum("asd,btd->abst", Xa0, Xb0, precision=precision)
+    A00 = inner + na[:, None, :, None] + nb[None, :, None, :]
+    d01 = (
+        jnp.einsum("asd,btd->abst", Xa0, dXb, precision=precision)
+        + dnb[None, :, None, :]
+    )
+    d10 = (
+        jnp.einsum("asd,btd->abst", dXa, Xb0, precision=precision)
+        + dna[:, None, :, None]
+    )
+    dxx = jnp.einsum("asd,btd->abst", dXa, dXb, precision=precision)
+    return exp_accurate(A00) * (
+        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
+        - _expm1_stable(d10)
+    )
+
+
+def _rbf_increment_diag(X, precision):
+    """(B, L, d) -> (B, L-1, L-1) per-example rbf increment Grams."""
+    X0, dX = X[:, :-1], X[:, 1:] - X[:, :-1]
+    dn = -0.5 * jnp.sum((X[:, 1:] + X[:, :-1]) * dX, axis=-1)  # (B, L-1)
+    n = -0.5 * jnp.sum(jnp.square(X0), axis=-1)
+    inner = jnp.einsum("bsd,btd->bst", X0, X0, precision=precision)
+    A00 = inner + n[:, :, None] + n[:, None, :]
+    d01 = (
+        jnp.einsum("bsd,btd->bst", X0, dX, precision=precision)
+        + dn[:, None, :]
+    )
+    d10 = (
+        jnp.einsum("bsd,btd->bst", dX, X0, precision=precision)
+        + dn[:, :, None]
+    )
+    dxx = jnp.einsum("bsd,btd->bst", dX, dX, precision=precision)
+    return exp_accurate(A00) * (
+        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
+        - _expm1_stable(d10)
+    )
+
+
+INCREMENT_GRAMS = {
+    "linear": (_linear_increment_cross, _linear_increment_diag),
+    "rbf": (_rbf_increment_cross, _rbf_increment_diag),
+}
+
+
+def increment_gram_fns(base: str):
+    """(cross_fn, diag_fn) computing cancellation-free increment Grams for
+    ``base``, or (None, None) when no closed form is implemented (callers
+    fall back to naive second differencing — exact in f64)."""
+    return INCREMENT_GRAMS.get(base, (None, None))
+
+
+def level1_exact_cross(increment_fn, X, X2, precision):
+    """(N1, N2) exact level-1 kernel from endpoints only.
+
+    The level-1 double sum telescopes:
+    ``sum_st M_inc[s,t] = k(x_L,y_L) + k(x_0,y_0) - k(x_0,y_L) - k(x_L,y_0)``
+    which is the increment formula applied to the 2-point path (x_0, x_L) —
+    so its f32 error is ~2e-7 *relative* regardless of L, while summing the
+    (L-1)^2 increments random-walks to ~sqrt(L^2)*ulp absolute (the dominant
+    error once a path's total displacement is near zero)."""
+    ends = X[:, jnp.array([0, X.shape[1] - 1]), :]
+    ends2 = X2[:, jnp.array([0, X2.shape[1] - 1]), :]
+    return increment_fn(ends, ends2, precision)[:, :, 0, 0]
+
+
+def level1_exact_diag(increment_diag_fn, X, precision):
+    """(N,) exact level-1 diagonal from endpoints only."""
+    ends = X[:, jnp.array([0, X.shape[1] - 1]), :]
+    return increment_diag_fn(ends, precision)[:, 0, 0]
+
+
 def first_order_levels_batched(M, num_levels: int, *, difference: bool = True,
                                precision=lax.Precision.HIGHEST):
     """First-order level stack for a *batch* of (L1, L2) increment Grams.
@@ -145,7 +304,8 @@ def _pad_examples(X, block: int):
 def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
                                order: int = 1,
                                difference: bool = True, block_size: int = 16,
-                               precision=lax.Precision.HIGHEST):
+                               precision=lax.Precision.HIGHEST,
+                               increment_fn=None):
     """(M+1, N1, N2) per-level seq-vs-seq kernels, blocked over examples.
 
     Args:
@@ -153,6 +313,9 @@ def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
       X: ``(N1, L1, d)`` scaled sequences; X2: ``(N2, L2, d)`` or None.
       block_size: examples per tile; peak intermediate is
         ``(block, L1, block, L2)`` floats.
+      increment_fn: optional ``f(Xi, Xj, precision) -> (B, B, L1-1, L2-1)``
+        cancellation-free increment Gram (see ``increment_gram_fns``); only
+        used when ``difference`` is True.
     """
     symm = X2 is None
     if X2 is None:
@@ -163,22 +326,29 @@ def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
     Xp, nb1 = _pad_examples(X, block_size)
     X2p, nb2 = _pad_examples(X2, block_size)
     B = block_size
+    use_inc = difference and increment_fn is not None
 
     def tile(i, j):
         Xi = lax.dynamic_slice(Xp, (i * B, 0, 0), (B, L1, d))
         Xj = lax.dynamic_slice(X2p, (j * B, 0, 0), (B, L2, d))
-        G = base_kern(
-            Xi.reshape(B * L1, d), Xj.reshape(B * L2, d)
-        ).reshape(B, L1, B, L2)
-        # (B, B, L1, L2) layout: time axes minor -> MXU-friendly recursion
-        G = jnp.transpose(G, (0, 2, 1, 3))
+        if use_inc:
+            # (B, B, L1-1, L2-1) pre-differenced, cancellation-free
+            G = increment_fn(Xi, Xj, precision)
+            diff = False
+        else:
+            G = base_kern(
+                Xi.reshape(B * L1, d), Xj.reshape(B * L2, d)
+            ).reshape(B, L1, B, L2)
+            # (B, B, L1, L2) layout: time axes minor -> MXU-friendly recursion
+            G = jnp.transpose(G, (0, 2, 1, 3))
+            diff = difference
         if order == 1:
             lvls = first_order_levels_batched(
-                G, num_levels, difference=difference, precision=precision
+                G, num_levels, difference=diff, precision=precision
             )  # (M+1, B, B)
         else:
             lvls = higher_order_levels_batched(
-                G, num_levels, order, difference=difference,
+                G, num_levels, order, difference=diff,
                 precision=precision,
             )
         return lvls
@@ -190,29 +360,43 @@ def blocked_first_order_levels(base_kern, X, X2=None, *, num_levels: int,
     K = jnp.transpose(K_tiles, (2, 0, 3, 1, 4)).reshape(
         num_levels + 1, nb1 * B, nb2 * B
     )
-    return K[:, :N1, :N2]
+    K = K[:, :N1, :N2]
+    if use_inc:
+        # telescoped level-1 (see level1_exact_cross): exact from endpoints
+        K = K.at[1].set(level1_exact_cross(increment_fn, X, X2, precision))
+    return K
 
 
 def blocked_first_order_levels_diag(base_kern, X, *, num_levels: int,
                                     order: int = 1,
                                     difference: bool = True,
                                     block_size: int = 64,
-                                    precision=lax.Precision.HIGHEST):
+                                    precision=lax.Precision.HIGHEST,
+                                    increment_diag_fn=None):
     """(M+1, N) per-level diagonals, blocked over examples."""
     N, L, d = X.shape
     Xp, nb = _pad_examples(X, block_size)
     B = block_size
+    use_inc = difference and increment_diag_fn is not None
 
     def tile(i):
         Xi = lax.dynamic_slice(Xp, (i * B, 0, 0), (B, L, d))
-        G = base_kern(Xi)  # (B, L, L) batched
+        if use_inc:
+            G = increment_diag_fn(Xi, precision)  # (B, L-1, L-1)
+            diff = False
+        else:
+            G = base_kern(Xi)  # (B, L, L) batched
+            diff = difference
         if order == 1:
             return first_order_levels_batched(
-                G, num_levels, difference=difference, precision=precision
+                G, num_levels, difference=diff, precision=precision
             )  # (M+1, B)
         return higher_order_levels_batched(
-            G, num_levels, order, difference=difference, precision=precision
+            G, num_levels, order, difference=diff, precision=precision
         )
 
     K = lax.map(tile, jnp.arange(nb))  # (nb, M+1, B)
-    return jnp.transpose(K, (1, 0, 2)).reshape(num_levels + 1, nb * B)[:, :N]
+    K = jnp.transpose(K, (1, 0, 2)).reshape(num_levels + 1, nb * B)[:, :N]
+    if use_inc:
+        K = K.at[1].set(level1_exact_diag(increment_diag_fn, X, precision))
+    return K

@@ -1,19 +1,22 @@
-"""Fused Pallas TPU kernel for first-order signature Gram matrices.
+"""Fused Pallas TPU kernels for first-order signature Gram matrices.
 
 The hot loop of the whole framework (SURVEY.md §3.2).  The XLA blocked path
 (`ops/gram.py`) is bandwidth-bound: every level of the recursion round-trips
 the (B, B, L, L) tile through HBM (~2.4 TB of traffic at the north-star
-scale).  This kernel keeps everything in VMEM:
+scale).  These kernels keep everything in VMEM.
 
-for each grid cell (i, j) — a (BI x BJ) block of example pairs:
+Forward, for each grid cell (i, j) — a (BI x BJ) block of example pairs:
   loop a over the BI row examples:
-    1. increment Gram M via a cancellation-free formulation (below)
-    2. per level m = 2..M, both exclusive cumsums are triangular-ones
-       matmuls on the MXU: viewing the (L, BJ*L) tile as rank-3 (L, BJ, T),
-       the xa-time cumsum contracts the major dim (a plain (L,L)@(L,BJ*L)
-       matmul on the 2-D view) and the xb-time cumsum contracts the lane
-       dim per group (a batched matmul with the strictly-upper ones).
-    3. the (M+1, BJ) level sums are placed at lane offset j*BJ of a
+    1. increment Gram M_full (L, BJ*L) via a cancellation-free formulation
+       (below), one VPU pass over all BJ column examples;
+    2. per column example b (static unroll), the level recursion runs on a
+       2-D (L, L) tile: R <- M * (A_lower @ R @ A_upper).  Both exclusive
+       cumsums are plain 2-D triangular-ones matmuls on the MXU — the tile
+       never changes rank, so Mosaic never relayouts it (the round-1 kernel
+       alternated a 2-D view for the xa-cumsum with a rank-3 view for the
+       xb-cumsum; the (8,128) register retiling between the two views cost
+       more than the matmuls themselves);
+    3. the per-level tile sums (M+1, BJ) are placed at lane offset j*BJ of a
        full-width output row block via a tiny expansion matmul (TPU vector
        stores can't hit unaligned lane offsets; a matmul can) and
        accumulated — the output block's index map ignores j, so Pallas
@@ -37,8 +40,12 @@ Here the cancellation is done in algebra instead:
 Repeat-last time padding makes tail increments exactly zero, so padding L
 to a multiple of 128 is exact and needs no masks (`preprocessing.py:23-25`).
 
-Differentiation: use the XLA path for training (autodiff); this kernel is
-the inference/Gram fast path.  A custom VJP is planned.
+Differentiation: ``fused_first_order_levels`` carries a custom VJP whose
+backward pass is a second Pallas kernel (same triangular-matmul structure,
+transposed: the adjoint of the double exclusive cumsum is the reversed
+double exclusive cumsum).  The reference trains through this recursion
+(`gpsig/models.py:39-59` -> `signature_algs.py:8-35`), so the fast path must
+be differentiable to be the training path.
 """
 
 from __future__ import annotations
@@ -52,10 +59,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gram import exp_accurate
+
 
 def _expm1(x):
     """exp(x) - 1 with a Taylor branch for small |x| (Mosaic's exp is only
-    ~1e-6-accurate; the Taylor branch keeps the error *relative* to x)."""
+    ~4e-6-accurate; the Taylor branch keeps the error *relative* to x).
+    The large-|x| branch keeps the native exp: there |expm1| >= 0.28, so the
+    native ~4e-6 absolute error is ~1e-5 *relative* — fine for entries that
+    large, and native exp is much cheaper than the ldexp-accurate one."""
     p = x / 6.0
     for k in (5.0, 4.0, 3.0, 2.0):
         p = (1.0 + p) * x / k
@@ -63,24 +75,147 @@ def _expm1(x):
     return jnp.where(jnp.abs(x) < 0.25, taylor, jnp.exp(x) - 1.0)
 
 
-def _kernel(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int, BJ: int,
-            L: int, L_true: int, d: int, num_levels: int, base: str,
-            difference: bool, precision):
+def _recursion_precision(fast_math):
+    """Map the fast_math knob to an MXU mode for the level recursion.
+
+    True -> one-pass bf16 (DEFAULT; ~0.4% relative on R, which the
+    normalized kernel can amplify ~1e3x at ill-conditioned entries),
+    'high' -> one-sided bf16x3 split (the triangular-ones operand is exact
+    in bf16, so splitting only the data operand into three bf16 pieces
+    recovers ~f32 accuracy in 3 MXU passes — half the cost of HIGHEST),
+    False -> six-pass HIGHEST (full f32).
+    """
+    if fast_math is True:
+        return lax.Precision.DEFAULT
+    if fast_math == "high":
+        return "split3"
+    return lax.Precision.HIGHEST
+
+
+def _split3(R):
+    """Three bf16 pieces summing to R (~24 mantissa bits captured)."""
+    r1 = R.astype(jnp.bfloat16)
+    R1 = r1.astype(jnp.float32)
+    r2 = (R - R1).astype(jnp.bfloat16)
+    R2 = r2.astype(jnp.float32)
+    r3 = (R - R1 - R2).astype(jnp.bfloat16)
+    return r1, r2, r3
+
+
+def _chunks(n, c=128):
+    out, lo = [], 0
+    while lo < n:
+        out.append((lo, min(c, n - lo)))
+        lo += c
+    return out
+
+
+def _make_cumsums(precision):
+    """(cum_rows, cum_lanes): exclusive cumulative sums over the sublane /
+    lane axis of a 2-D tile, evaluated as *chunked* triangular-ones matmuls.
+
+    Chunking at 128 exploits that every below-(above-)diagonal block of the
+    triangular-ones matrix is all-ones, i.e. rank degenerate: its
+    contribution is a column-(row-)sum carry, computed exactly on the VPU.
+    That halves the MXU FLOPs of the naive (L, L) sandwich and, in 'split3'
+    mode, the carry path bypasses the bf16 splitting entirely.
+
+    precision: lax.Precision (both operands at that precision) or 'split3'
+    (one-sided bf16x3: the ones-triangle is exact in bf16, the data operand
+    is split into three bf16 pieces -> ~f32 accuracy in 3 passes).
+
+    ``reverse=True`` computes the adjoint (reversed exclusive cumsum), i.e.
+    multiplication by the transposed triangle.
+    """
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=None if precision == "split3" else precision,
+        )
+
+    if precision == "split3":
+        def dot_l(T, R):  # T exact in bf16
+            Tb = T.astype(jnp.bfloat16)
+            r1, r2, r3 = _split3(R)
+            return dot(Tb, r1) + dot(Tb, r2) + dot(Tb, r3)
+
+        def dot_r(S, T):
+            Tb = T.astype(jnp.bfloat16)
+            s1, s2, s3 = _split3(S)
+            return dot(s1, Tb) + dot(s2, Tb) + dot(s3, Tb)
+    else:
+        dot_l = dot_r = dot
+
+    def tri(n, upper):
+        r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        return ((r < c) if upper else (r > c)).astype(f32)
+
+    def cum_rows(R, reverse=False):
+        """out[s, :] = sum_{s' < s} R[s', :] (reverse: s' > s)."""
+        n, w = R.shape
+        chunks = _chunks(n)
+        if reverse:
+            chunks = chunks[::-1]
+        carry = jnp.zeros((1, w), f32)
+        outs = {}
+        for lo, c in chunks:
+            Rc = R[lo:lo + c, :]
+            outs[lo] = dot_l(tri(c, upper=reverse), Rc) + carry
+            carry = carry + jnp.sum(Rc, axis=0, keepdims=True)
+        return jnp.concatenate([outs[lo] for lo, _ in _chunks(n)], axis=0)
+
+    def cum_lanes(S, reverse=False):
+        """out[:, t] = sum_{t' < t} S[:, t'] (reverse: t' > t)."""
+        n, w = S.shape
+        chunks = _chunks(w)
+        if reverse:
+            chunks = chunks[::-1]
+        carry = jnp.zeros((n, 1), f32)
+        outs = {}
+        for lo, c in chunks:
+            Sc = S[:, lo:lo + c]
+            outs[lo] = dot_r(Sc, tri(c, upper=not reverse)) + carry
+            carry = carry + jnp.sum(Sc, axis=1, keepdims=True)
+        return jnp.concatenate([outs[lo] for lo, _ in _chunks(w)], axis=1)
+
+    return cum_rows, cum_lanes
+
+
+def _increment_gram_row(xa, dxa, xj, dxj, base, difference, tail_mask, hdot):
+    """(L, BJ*L) increment (or plain, if not difference) Gram for one row
+    example against all BJ column examples; cancellation-free (see module
+    docstring)."""
+    if base == "linear":
+        if difference:
+            return hdot(dxa, dxj)  # exact increment Gram, one matmul
+        return hdot(xa, xj) * tail_mask
+    # rbf on norm-augmented inputs
+    A00 = hdot(xa, xj)  # = -|x_s - y_t|^2 / 2
+    if not difference:
+        return exp_accurate(A00) * tail_mask
+    d01 = hdot(xa, dxj)   # A(x, y') - A(x, y)
+    d10 = hdot(dxa, xj)   # A(x', y) - A(x, y)
+    dxx = hdot(dxa, dxj)  # <dx, dy>
+    return exp_accurate(A00) * (
+        _expm1(d01 + d10 + dxx) - _expm1(d01) - _expm1(d10)
+    )
+
+
+def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
+                BJ: int, L: int, L_true: int, d: int, num_levels: int,
+                base: str, difference: bool, symmetric: bool, precision):
     f32 = jnp.float32
     BJL = BJ * L
     W = out_ref.shape[-1]  # padded full output width (multiple of 128)
+    # active row count: repeat-padding makes rows >= L_true all-zero
+    # increments, so cropping the sublane axis to an 8-multiple >= L_true is
+    # exact and cuts VPU transcendentals + matmul rows by L/Ls
+    Ls = L if not difference else min(L, -(-L_true // 8) * 8)
 
-    # constants (generated in-register, no HBM traffic)
-    row = lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    A_lower = (row > col).astype(f32)  # strictly-lower ones: row-excl-cumsum
-    A_upper = (row < col).astype(f32)  # strictly-upper ones: col-excl-cumsum
-
-    # group-sum matrix: (BJL, BJ), S[c, b] = 1 iff c // L == b
-    gcol = lax.broadcasted_iota(jnp.int32, (BJL, BJ), 0) // L
-    gsel = lax.broadcasted_iota(jnp.int32, (BJL, BJ), 1)
-    S = (gcol == gsel).astype(f32)
-
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     # expansion matrix placing this cell's BJ columns at lane offset j*BJ of
@@ -90,77 +225,76 @@ def _kernel(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int, BJ: int,
     ecol = lax.broadcasted_iota(jnp.int32, (BJ, W), 1)
     expand = (ecol == erow + j * BJ).astype(f32)
 
-    xj = xj_ref[:]  # (d, BJL)
-    dxj = dxj_ref[:]
-
-    if not difference:
-        cig = lax.broadcasted_iota(jnp.int32, (L, BJL), 1) % L
-        rix = lax.broadcasted_iota(jnp.int32, (L, BJL), 0)
+    if difference:
+        tail_mask = None
+    else:
+        cig = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 1) % L
+        rix = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 0)
         tail_mask = ((rix < L_true) & (cig < L_true)).astype(f32)
 
     def hdot(xa2, xj2):
-        """(d, L) x (d, BJL) -> (L, BJL), full-f32 (signal can be O(1/L) of
-        operand magnitudes; bf16 inputs would drown it)."""
+        """(d, Ls) x (d, BJL) -> (Ls, BJL), full-f32 (signal can be O(1/L)
+        of operand magnitudes; bf16 inputs would drown it)."""
         return lax.dot_general(
             xa2, xj2, (((0,), (0,)), ((), ())), preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
         )
 
-    def group_sum(R):
-        # HIGHEST: a bf16 pass here would round the *result* kernel values
-        return lax.dot_general(
-            jnp.sum(R, axis=0, keepdims=True), S,
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
-            precision=lax.Precision.HIGHEST,
-        )  # (1, BJ)
+    cum_rows, cum_lanes = _make_cumsums(precision)
 
-    def pair_row(a, carry):
-        xa = xi_ref[:, pl.ds(a * L, L)]  # (d, L)
-        dxa = dxi_ref[:, pl.ds(a * L, L)]
+    def body():
+        xj = xj_ref[:]  # (d, BJL)
+        dxj = dxj_ref[:]
 
-        if base == "linear":
-            if difference:
-                M = hdot(dxa, dxj)  # exact increment Gram, one matmul
-            else:
-                M = hdot(xa, xj) * tail_mask
-        else:  # rbf on norm-augmented inputs
-            A00 = hdot(xa, xj)  # = -|x_s - y_t|^2 / 2
-            if difference:
-                d01 = hdot(xa, dxj)   # A(x, y') - A(x, y)
-                d10 = hdot(dxa, xj)   # A(x', y) - A(x, y)
-                dxx = hdot(dxa, dxj)  # <dx, dy>
-                M = jnp.exp(A00) * (
-                    _expm1(d01 + d10 + dxx) - _expm1(d01) - _expm1(d10)
-                )
-            else:
-                M = jnp.exp(A00) * tail_mask
+        def pair_row(a, carry):
+            xa = xi_ref[:, pl.ds(a * L, Ls)]  # (d, Ls)
+            dxa = dxi_ref[:, pl.ds(a * L, Ls)]
 
-        levels = [jnp.ones((1, BJ), f32), group_sum(M)]
+            M_full = _increment_gram_row(
+                xa, dxa, xj, dxj, base, difference, tail_mask, hdot
+            )  # (Ls, BJL)
 
-        R = M
-        for _ in range(2, num_levels + 1):
-            E = lax.dot_general(
-                A_lower, R, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=precision,
-            )  # (L, BJL): exclusive cumsum over xa time
-            E3 = E.reshape(L, BJ, L)
-            T3 = lax.dot_general(
-                E3, A_upper, (((2,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=precision,
-            )  # (L, BJ, T): exclusive cumsum over xb time within groups
-            R = M * T3.reshape(L, BJL)
-            levels.append(group_sum(R))
+            # per-column-example 2-D recursion: both exclusive cumsums stay
+            # plain 2-D MXU matmuls (no rank change -> no Mosaic relayout);
+            # BJ is a static unroll so slices are compile-time lane offsets
+            # (multiples of L >= 128: tile-aligned)
+            cols = []
+            for b in range(BJ):
+                M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
+                sums = [jnp.full((1, 1), 1.0, f32),
+                        jnp.full((1, 1), jnp.sum(M), f32)]
+                R = M
+                for _ in range(2, num_levels + 1):
+                    R = M * cum_lanes(cum_rows(R))
+                    sums.append(jnp.full((1, 1), jnp.sum(R), f32))
+                cols.append(jnp.concatenate(sums, axis=0))  # (M+1, 1)
+            levels2d = jnp.concatenate(cols, axis=1)  # (M+1, BJ)
 
-        levels2d = jnp.concatenate(levels, axis=0)  # (M+1, BJ)
-        placed = lax.dot_general(
-            levels2d, expand, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
-        )  # (M+1, W) with this cell's columns at j*BJ
-        prev = out_ref[:, a, :]
-        out_ref[:, a, :] = jnp.where(j == 0, placed, prev + placed)
-        return carry
+            placed = lax.dot_general(
+                levels2d, expand, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+            )  # (M+1, W) with this cell's columns at j*BJ
+            first = j == (i if symmetric else 0)
+            prev = out_ref[:, a, :]
+            out_ref[:, a, :] = jnp.where(first, placed, prev + placed)
+            return carry
 
-    lax.fori_loop(0, BI, pair_row, None)
+        lax.fori_loop(0, BI, pair_row, None)
+
+    if symmetric:
+        # upper-triangular cells only (requires BI == BJ); the public
+        # wrapper mirrors the result.  Skipped cells only zero-fill the row
+        # block on its first visit (j == 0 < i implies the row's real data
+        # lands at j >= i).
+        @pl.when(j >= i)
+        def _():
+            body()
+
+        @pl.when(jnp.logical_and(j == 0, i > 0))
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    else:
+        body()
 
 
 def _pad_time_repeat(X, L_pad: int):
@@ -215,47 +349,18 @@ def _prep_inputs(X, base: str, difference: bool, lhs: bool):
     return _flat_time_minor(Xa), _flat_time_minor(dXa)
 
 
-def fused_first_order_levels(X, X2=None, *, num_levels: int,
-                             base: str = "rbf", difference: bool = True,
-                             block_i: int = 16, block_j: int = 8,
-                             fast_math: bool = True,
-                             interpret: bool = False):
-    """(num_levels+1, N1, N2) per-level signature kernels, fully fused.
-
-    Args:
-      X: (N1, L, d) scaled sequences (float32); X2: (N2, L, d) or None.
-      base: 'rbf' | 'linear' (the benchmark-relevant state-space embeddings;
-        other bases use the XLA path).
-      fast_math: bf16 MXU inputs for the level-recursion matmuls (f32
-        accumulation; the increment Gram is always full-f32).
-    """
-    if base not in ("rbf", "linear"):
-        raise ValueError(f"unsupported base {base!r} for the fused kernel")
-    if X2 is None:
-        X2 = X
-    N1, L, d = X.shape
-    N2 = X2.shape[0]
-    L_pad = max(128, -(-L // 128) * 128)
-    BI, BJ = block_i, block_j
-
-    X = _pad_time_repeat(X, L_pad)
-    X2 = _pad_time_repeat(X2, L_pad)
-    nb1 = -(-N1 // BI)
-    nb2 = -(-N2 // BJ)
-    X = _pad_examples_repeat(X, nb1 * BI - N1)
-    X2 = _pad_examples_repeat(X2, nb2 * BJ - N2)
-    # full accumulator width, 128-aligned
+def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
+              L_pad: int, L_true: int, num_levels: int, base: str,
+              difference: bool, symmetric: bool, fast_math: bool,
+              interpret: bool):
+    d_k = Xf.shape[0]
     W = max(128, -(-(nb2 * BJ) // 128) * 128)
 
-    Xf, dXf = _prep_inputs(X, base, difference, lhs=True)
-    X2f, dX2f = _prep_inputs(X2, base, difference, lhs=False)
-    d_k = Xf.shape[0]
-
     kernel = functools.partial(
-        _kernel, BI=BI, BJ=BJ, L=L_pad, L_true=L, d=d_k,
+        _kernel_fwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true, d=d_k,
         num_levels=num_levels, base=base, difference=difference,
-        precision=(lax.Precision.DEFAULT if fast_math
-                   else lax.Precision.HIGHEST),
+        symmetric=symmetric,
+        precision=_recursion_precision(fast_math),
     )
 
     in_spec_i = pl.BlockSpec((d_k, BI * L_pad), lambda i, j: (0, i),
@@ -263,7 +368,7 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     in_spec_j = pl.BlockSpec((d_k, BJ * L_pad), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nb1, nb2),
         in_specs=[in_spec_i, in_spec_i, in_spec_j, in_spec_j],
@@ -282,4 +387,374 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
         interpret=interpret,
     )(Xf, dXf, X2f, dX2f)
 
-    return out[:, :N1, :N2]
+
+def fused_first_order_levels(X, X2=None, *, num_levels: int,
+                             base: str = "rbf", difference: bool = True,
+                             block_i: int = 16, block_j: int = 8,
+                             fast_math: bool = True,
+                             interpret: bool = False):
+    """(num_levels+1, N1, N2) per-level signature kernels, fully fused.
+
+    Args:
+      X: (N1, L, d) scaled sequences (float32); X2: (N2, L, d) or None.
+      base: 'rbf' | 'linear' (the benchmark-relevant state-space embeddings;
+        other bases use the XLA path).
+      fast_math: bf16 MXU inputs for the level-recursion matmuls (f32
+        accumulation; the increment Gram is always full-f32).
+
+    Differentiable: a custom VJP runs the backward pass as a second fused
+    Pallas kernel (see ``_bwd_call``).
+    """
+    if base not in ("rbf", "linear"):
+        raise ValueError(f"unsupported base {base!r} for the fused kernel")
+    symmetric = X2 is None
+    if X2 is None:
+        X2 = X
+    N1, L, d = X.shape
+    N2 = X2.shape[0]
+    L_pad = max(128, -(-L // 128) * 128)
+    BI, BJ = block_i, block_j
+    if symmetric:
+        BJ = BI  # upper-triangular cell skipping needs square cells
+
+    nb1 = -(-N1 // BI)
+    nb2 = -(-N2 // BJ)
+
+    core = _make_fused_core(
+        num_levels, base, difference, symmetric, nb1, nb2, BI, BJ, L_pad, L,
+        fast_math, interpret,
+    )
+    out = core(X, X2)
+    out = out[:, :N1, :N2]
+    if symmetric:
+        # only upper-triangular (block) cells were computed; mirror the
+        # off-diagonal blocks (diagonal cells are computed in full)
+        blk_r = jnp.arange(N1)[:, None] // BI
+        blk_c = jnp.arange(N2)[None, :] // BJ
+        offdiag = (blk_r != blk_c).astype(out.dtype)
+        out = out + jnp.swapaxes(out, 1, 2) * offdiag[None]
+    if difference:
+        # telescoped exact level 1 from endpoints (see
+        # gram.level1_exact_cross); jnp-level, so its adjoint is automatic
+        from . import gram as gram_ops
+
+        inc_cross, _ = gram_ops.increment_gram_fns(base)
+        out = out.at[1].set(gram_ops.level1_exact_cross(
+            inc_cross, X, X2, lax.Precision.HIGHEST
+        ))
+    return out
+
+
+def _prep_all(X, X2, base, difference, nb1, nb2, BI, BJ, L_pad):
+    """Differentiable jnp-side prep: pad time+examples, augment, flatten."""
+    N1, N2 = X.shape[0], X2.shape[0]
+    Xp = _pad_examples_repeat(_pad_time_repeat(X, L_pad), nb1 * BI - N1)
+    X2p = _pad_examples_repeat(_pad_time_repeat(X2, L_pad), nb2 * BJ - N2)
+    Xf, dXf = _prep_inputs(Xp, base, difference, lhs=True)
+    X2f, dX2f = _prep_inputs(X2p, base, difference, lhs=False)
+    return Xf, dXf, X2f, dX2f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_core(num_levels, base, difference, symmetric, nb1, nb2, BI,
+                     BJ, L_pad, L_true, fast_math, interpret):
+    """Custom-VJP core (per static config): (X, X2) -> padded level stack.
+
+    X/X2 are the raw (N, L, d) sequences; padding and input prep happen
+    inside so their adjoints ride jax.vjp of the jnp-side prep while the
+    heavy recursion adjoint runs in the fused backward kernel.
+    """
+
+    def prep(X, X2):
+        return _prep_all(X, X2, base, difference, nb1, nb2, BI, BJ, L_pad)
+
+    def fwd(X, X2):
+        Xf, dXf, X2f, dX2f = prep(X, X2)
+        out = _fwd_call(
+            Xf, dXf, X2f, dX2f, nb1=nb1, nb2=nb2, BI=BI, BJ=BJ,
+            L_pad=L_pad, L_true=L_true, num_levels=num_levels, base=base,
+            difference=difference, symmetric=symmetric,
+            fast_math=fast_math, interpret=interpret,
+        )
+        return out, (X, X2)
+
+    @jax.custom_vjp
+    def core(X, X2):
+        return fwd(X, X2)[0]
+
+    def bwd(res, ct):
+        X, X2 = res
+        flats, pullback = jax.vjp(prep, X, X2)
+        Xf, dXf, X2f, dX2f = flats
+        gXf, gdXf, gX2f, gdX2f = _bwd_call(
+            Xf, dXf, X2f, dX2f, ct.astype(jnp.float32), nb1=nb1, nb2=nb2,
+            BI=BI, BJ=BJ, L_pad=L_pad, L_true=L_true,
+            num_levels=num_levels, base=base, difference=difference,
+            symmetric=symmetric, fast_math=fast_math, interpret=interpret,
+        )
+        gX, gX2 = pullback((gXf.astype(Xf.dtype), gdXf.astype(dXf.dtype),
+                            gX2f.astype(X2f.dtype),
+                            gdX2f.astype(dX2f.dtype)))
+        return gX, gX2
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
+                gxj_ref, gdxj_ref, *, BI: int, BJ: int, L: int, L_true: int,
+                num_levels: int, base: str, difference: bool,
+                symmetric: bool, precision):
+    """Backward kernel for one (i, j) grid cell.
+
+    Per pair (a, b) the forward is R_1 = M; R_m = M * (A R_{m-1} B);
+    K_m = sum(R_m).  With level cotangents g_m the reverse sweep is
+
+        Rbar_M = g_M * 1
+        Rbar_m = g_m * 1 + A^T (M * Rbar_{m+1}) B^T      (m = M-1 .. 1)
+        Mbar   = Rbar_1 + sum_{m>=2} C_m * Rbar_m
+
+    (C_m = A R_{m-1} B recomputed forward) — the adjoint of the exclusive
+    double cumsum is the reversed exclusive double cumsum, i.e. the same
+    triangular-ones matmuls transposed.  Mbar then pulls back through the
+    cancellation-free increment algebra into the flat inputs.
+
+    Outputs: gxi/gdxi (BI, d, L) per row block (accumulated over the j
+    sweep in VMEM); gxj/gdxj (nb2, d, BJ*L) full-width (accumulated over
+    the whole grid in VMEM; initialized at i == j == 0).
+    """
+    f32 = jnp.float32
+    BJL = BJ * L
+    Ls = L if not difference else min(L, -(-L_true // 8) * 8)
+
+    # row-pad matmul: (d, Ls) grads -> (d, L) for full-width stores
+    prow = lax.broadcasted_iota(jnp.int32, (Ls, L), 0)
+    pcol = lax.broadcasted_iota(jnp.int32, (Ls, L), 1)
+    rowpad = (prow == pcol).astype(f32)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    if difference:
+        tail_mask = None
+    else:
+        cig = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 1) % L
+        rix = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 0)
+        tail_mask = ((rix < L_true) & (cig < L_true)).astype(f32)
+
+    def hdot(xa2, xj2):
+        return lax.dot_general(
+            xa2, xj2, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    cum_rows, cum_lanes = _make_cumsums(precision)
+
+    def mm_hi(a, b):
+        return lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    # contraction selector: (M+1, W) ct rows -> (M+1, BJ) for this cell
+    W = ct_ref.shape[-1]
+    srow = lax.broadcasted_iota(jnp.int32, (W, BJ), 0)
+    scol = lax.broadcasted_iota(jnp.int32, (W, BJ), 1)
+    select = (srow == scol + j * BJ).astype(f32)
+
+    def body():
+        xj = xj_ref[:]
+        dxj = dxj_ref[:]
+
+        def pair_row(a, carry):
+            xa = xi_ref[:, pl.ds(a * L, Ls)]
+            dxa = dxi_ref[:, pl.ds(a * L, Ls)]
+
+            # recompute the increment Gram row and per-term weights
+            es = e01 = e10 = eA00 = None
+            if base == "linear":
+                if difference:
+                    M_full = hdot(dxa, dxj)
+                else:
+                    M_full = hdot(xa, xj) * tail_mask
+            else:
+                A00 = hdot(xa, xj)
+                eA00 = exp_accurate(A00)
+                if difference:
+                    d01 = hdot(xa, dxj)
+                    d10 = hdot(dxa, xj)
+                    dxx = hdot(dxa, dxj)
+                    s = d01 + d10 + dxx
+                    es, e01, e10 = _expm1(s), _expm1(d01), _expm1(d10)
+                    M_full = eA00 * (es - e01 - e10)
+                else:
+                    M_full = eA00 * tail_mask
+
+            g = lax.dot_general(
+                ct_ref[:, a, :], select, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+            )  # (M+1, BJ) level cotangents: this row vs cell columns
+
+            Mbar_cols = []
+            for b in range(BJ):
+                M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
+                # forward recompute, stashing C_m = A R_{m-1} B
+                Cs = []
+                R = M
+                for _ in range(2, num_levels + 1):
+                    C = cum_lanes(cum_rows(R))
+                    Cs.append(C)
+                    R = M * C
+                # reverse sweep
+                gb = [g[m, b] for m in range(num_levels + 1)]
+                Rbar = jnp.full((Ls, L), gb[num_levels], f32)
+                Mbar = jnp.zeros((Ls, L), f32)
+                for m in range(num_levels - 1, 0, -1):
+                    Mbar = Mbar + Cs[m - 1] * Rbar
+                    # adjoint of the double exclusive cumsum = the reversed
+                    # double exclusive cumsum
+                    Rbar = gb[m] + cum_lanes(
+                        cum_rows(M * Rbar, reverse=True), reverse=True
+                    )
+                Mbar = Mbar + Rbar  # R_1 = M contributes Rbar_1 directly
+                Mbar_cols.append(Mbar)
+            Mbar_full = jnp.concatenate(Mbar_cols, axis=1)  # (Ls, BJL)
+
+            # pull Mbar back through the increment algebra into flat inputs.
+            # Each dot term T = lhs^T rhs (hdot) with weight W_T gives
+            # g_lhs += rhs @ W_T^T  and  g_rhs += lhs @ W_T.
+            def lhs_grad(rhs_arr, Wt):
+                # (d, BJL) x (Ls, BJL) -> (d, Ls) -> row-pad to (d, L)
+                gl = lax.dot_general(
+                    rhs_arr, Wt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                return mm_hi(gl, rowpad)
+
+            def rhs_grad(lhs_arr, Wt):
+                # (d, Ls) x (Ls, BJL) -> (d, BJL)
+                return lax.dot_general(
+                    lhs_arr, Wt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST,
+                )
+
+            zrow = jnp.zeros((xa.shape[0], L), f32)
+            zcol = jnp.zeros_like(xj)
+            if base == "linear":
+                if difference:
+                    g_xa, g_dxa = zrow, lhs_grad(dxj, Mbar_full)
+                    g_xj, g_dxj = zcol, rhs_grad(dxa, Mbar_full)
+                else:
+                    g_xa, g_dxa = lhs_grad(xj, Mbar_full * tail_mask), zrow
+                    g_xj, g_dxj = rhs_grad(xa, Mbar_full * tail_mask), zcol
+            else:
+                if difference:
+                    W_A00 = Mbar_full * M_full  # dM/dA00 = M
+                    es1, e011, e101 = es + 1.0, e01 + 1.0, e10 + 1.0
+                    W_d01 = Mbar_full * (eA00 * (es1 - e011))
+                    W_d10 = Mbar_full * (eA00 * (es1 - e101))
+                    W_dxx = Mbar_full * (eA00 * es1)
+                    g_xa = lhs_grad(xj, W_A00) + lhs_grad(dxj, W_d01)
+                    g_dxa = lhs_grad(xj, W_d10) + lhs_grad(dxj, W_dxx)
+                    g_xj = rhs_grad(xa, W_A00) + rhs_grad(dxa, W_d10)
+                    g_dxj = rhs_grad(xa, W_d01) + rhs_grad(dxa, W_dxx)
+                else:
+                    W_A00 = Mbar_full * M_full
+                    g_xa, g_dxa = lhs_grad(xj, W_A00), zrow
+                    g_xj, g_dxj = rhs_grad(xa, W_A00), zcol
+
+            # row grads: (BI, d, L) block, accumulated across the j sweep
+            # (in symmetric mode the row's first computed cell is j == i)
+            first = j == (i if symmetric else 0)
+            prev_x = gxi_ref[a]
+            prev_dx = gdxi_ref[a]
+            gxi_ref[a] = jnp.where(first, g_xa, prev_x + g_xa)
+            gdxi_ref[a] = jnp.where(first, g_dxa, prev_dx + g_dxa)
+            acc_xj, acc_dxj = carry
+            return (acc_xj + g_xj, acc_dxj + g_dxj)
+
+        zero_j = jnp.zeros((xj.shape[0], BJL), f32)
+        g_xj_tot, g_dxj_tot = lax.fori_loop(
+            0, BI, pair_row, (zero_j, zero_j)
+        )
+
+        prev_xj = gxj_ref[j]
+        prev_dxj = gdxj_ref[j]
+        gxj_ref[j] = jnp.where(i == 0, g_xj_tot, prev_xj + g_xj_tot)
+        gdxj_ref[j] = jnp.where(i == 0, g_dxj_tot, prev_dxj + g_dxj_tot)
+
+    if symmetric:
+        @pl.when(j >= i)
+        def _():
+            body()
+
+        # skipped cells still own the first visit of this row's gxi blocks
+        @pl.when(jnp.logical_and(j == 0, i > 0))
+        def _():
+            gxi_ref[...] = jnp.zeros(gxi_ref.shape, gxi_ref.dtype)
+            gdxi_ref[...] = jnp.zeros(gdxi_ref.shape, gdxi_ref.dtype)
+    else:
+        body()
+
+
+def _bwd_call(Xf, dXf, X2f, dX2f, ct, *, nb1: int, nb2: int, BI: int,
+              BJ: int, L_pad: int, L_true: int, num_levels: int, base: str,
+              difference: bool, symmetric: bool, fast_math: bool,
+              interpret: bool):
+    """Pallas backward: grads w.r.t. the four flat (d, N*L) inputs."""
+    d_k = Xf.shape[0]
+
+    kernel = functools.partial(
+        _kernel_bwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true,
+        num_levels=num_levels, base=base, difference=difference,
+        symmetric=symmetric,
+        precision=_recursion_precision(fast_math),
+    )
+
+    in_spec_i = pl.BlockSpec((d_k, BI * L_pad), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)
+    in_spec_j = pl.BlockSpec((d_k, BJ * L_pad), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+    W = ct.shape[-1]
+    ct_spec = pl.BlockSpec((num_levels + 1, BI, W), lambda i, j: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+
+    gxi, gdxi, gxj, gdxj = pl.pallas_call(
+        kernel,
+        grid=(nb1, nb2),
+        in_specs=[in_spec_i, in_spec_i, in_spec_j, in_spec_j, ct_spec],
+        out_specs=[
+            pl.BlockSpec((BI, d_k, L_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BI, d_k, L_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # full-array col grads: VMEM-resident across the whole grid
+            pl.BlockSpec((nb2, d_k, BJ * L_pad), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb2, d_k, BJ * L_pad), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb1 * BI, d_k, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb1 * BI, d_k, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb2, d_k, BJ * L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb2, d_k, BJ * L_pad), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Xf, dXf, X2f, dX2f, ct)
+
+    # back to the (d, N*L) flat layout
+    def row_flat(g):  # (N, d, L) -> (d, N*L)
+        return jnp.transpose(g, (1, 0, 2)).reshape(d_k, -1)
+
+    def col_flat(g):  # (nb2, d, BJ*L) -> (d, nb2*BJ*L)
+        return jnp.transpose(g, (1, 0, 2)).reshape(d_k, -1)
+
+    return row_flat(gxi), row_flat(gdxi), col_flat(gxj), col_flat(gdxj)
+
+

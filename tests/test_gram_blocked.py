@@ -87,3 +87,20 @@ def test_blocked_higher_order_cross():
     np.testing.assert_allclose(
         np.asarray(K_blocked), np.asarray(K_direct), rtol=1e-8
     )
+
+
+def test_blocked_higher_order_cross_normalized():
+    """Regression: the normalization diagonals of a higher-order cross Gram
+    must be computed at the same order (round-1 bug: K_blocked normalized
+    order>1 columns by order-1 diagonals, max err 0.163)."""
+    X, X2 = RNG.randn(5, 7, 2), RNG.randn(4, 7, 2)
+    for order in (2, 3):
+        k = kernels.SignatureRBF(2, 3, order=order, normalization=True)
+        p = k.init_params()
+        K_direct = k.K(p, jnp.asarray(X), jnp.asarray(X2))
+        K_blocked = k.K_blocked(p, jnp.asarray(X), jnp.asarray(X2),
+                                block_size=2)
+        np.testing.assert_allclose(
+            np.asarray(K_blocked), np.asarray(K_direct), rtol=1e-8,
+            err_msg=f"order={order}",
+        )

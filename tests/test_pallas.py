@@ -74,3 +74,83 @@ def test_unsupported_base_raises():
             jnp.zeros((2, 8, 2), jnp.float32), num_levels=2, base="matern32",
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_fused_custom_vjp_matches_xla_grad(symmetric):
+    """jax.grad through the fused kernel (backward Pallas kernel) == grad
+    of the direct XLA recursion, cross and symmetric."""
+    N1, N2, L, d, M = 5, 3, 14, 2, 3
+    X = (RNG.randn(N1, L, d) / np.sqrt(L)).astype(np.float32)
+    X2 = X if symmetric else (RNG.randn(N2, L, d) / np.sqrt(L)).astype(np.float32)
+
+    def weigh(out):
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+        ))
+
+    def loss_fused(X, X2):
+        out = sp.fused_first_order_levels(
+            jnp.asarray(X), None if symmetric else jnp.asarray(X2),
+            num_levels=M, base="rbf", block_i=4, block_j=2, interpret=True,
+        )
+        return weigh(out)
+
+    def loss_xla(X, X2):
+        kf = base_kernels.get("rbf")
+        G = kf({}, X.reshape(-1, d), X2.reshape(-1, d)).reshape(
+            N1, L, X2.shape[0], L
+        )
+        return weigh(sig_ops.signature_kern_first_order(G, M))
+
+    Xj, X2j = jnp.asarray(X), jnp.asarray(X2)
+    if symmetric:
+        g1 = jax.grad(lambda a: loss_fused(a, a))(Xj)
+        g2 = jax.grad(lambda a: loss_xla(a, a))(Xj)
+        pairs = [(g1, g2)]
+    else:
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(Xj, X2j)
+        g2 = jax.grad(loss_xla, argnums=(0, 1))(Xj, X2j)
+        pairs = list(zip(g1, g2))
+    for a, b in pairs:
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-3 * scale, (err, scale)
+
+
+def test_increment_gram_cancellation_free():
+    """The closed-form increment Grams match naive f64 second differencing
+    (regression for the blocked path's f32 accuracy)."""
+    from jax import lax
+
+    from gpsig_tpu.ops import gram as gram_ops
+
+    A = RNG.randn(3, 12, 2) / 3.0
+    B = RNG.randn(4, 12, 2) / 3.0
+    for base in ("rbf", "linear"):
+        cross, diag = gram_ops.increment_gram_fns(base)
+        got = np.asarray(cross(jnp.asarray(A), jnp.asarray(B),
+                               lax.Precision.HIGHEST))
+        kf = base_kernels.get(base)
+        G = np.asarray(kf({}, jnp.asarray(A.reshape(-1, 2)),
+                          jnp.asarray(B.reshape(-1, 2)))).reshape(3, 12, 4, 12)
+        ref = (G[:, 1:, :, 1:] + G[:, :-1, :, :-1]
+               - G[:, :-1, :, 1:] - G[:, 1:, :, :-1])
+        ref = np.transpose(ref, (0, 2, 1, 3))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+        gd = np.asarray(diag(jnp.asarray(A), lax.Precision.HIGHEST))
+        Gd = np.asarray(kf({}, jnp.asarray(A))).reshape(3, 12, 12)
+        refd = (Gd[:, 1:, 1:] + Gd[:, :-1, :-1]
+                - Gd[:, :-1, 1:] - Gd[:, 1:, :-1])
+        np.testing.assert_allclose(gd, refd, rtol=1e-9, atol=1e-12)
+
+
+def test_exp_accurate_relative_error():
+    from gpsig_tpu.ops.gram import exp_accurate
+
+    x = jnp.asarray(
+        np.random.RandomState(3).uniform(-30, 5, 4096).astype(np.float32)
+    )
+    got = np.asarray(exp_accurate(x), np.float64)
+    ref = np.exp(np.asarray(x, np.float64))
+    assert np.max(np.abs(got - ref) / ref) < 5e-7
