@@ -33,7 +33,7 @@ class SVGP:
 
     def __init__(self, kern, ind, likelihood, *, num_latent: int,
                  num_data: int | None = None, whiten: bool = True,
-                 q_diag: bool = False):
+                 q_diag: bool = False, mean_function=None):
         self.kern = kern
         self.ind = ind
         self.likelihood = likelihood
@@ -41,6 +41,9 @@ class SVGP:
         self.num_data = num_data
         self.whiten = bool(whiten)
         self.q_diag = bool(q_diag)
+        # reference adds mean_function(X_new) to the conditional mean
+        # (`models.py:67`); None keeps the benchmarks' Zero default
+        self.mean_function = mean_function
 
     # ------------------------------------------------------------------
 
@@ -52,6 +55,10 @@ class SVGP:
             "ind": self.ind.init_params(dtype=dtype),
             "q_mu": jnp.zeros((M, P), dtype=dtype),
         }
+        if self.mean_function is not None:
+            mf = self.mean_function.init_params(dtype=dtype)
+            if mf:
+                params["mean"] = mf
         if self.q_diag:
             params["q_sqrt"] = jnp.ones((M, P), dtype=dtype)
         else:
@@ -78,6 +85,10 @@ class SVGP:
             q_sqrt=self._q_sqrt(params), white=self.whiten,
             full_cov=full_cov,
         )
+        if self.mean_function is not None:
+            fmean = fmean + jnp.asarray(
+                self.mean_function(params.get("mean", {}), X), fmean.dtype
+            )
         if return_Kzz:
             return fmean, fvar, Kzz
         return fmean, fvar

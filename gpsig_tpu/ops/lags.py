@@ -11,7 +11,43 @@ exact and cheaper (no (L x L) pairwise tensor).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def lin_interp(X, times, query_times):
+    """Piecewise-linear interpolation at arbitrary (sorted) sample times.
+
+    General-time counterpart of :func:`lin_interp_uniform`, matching the
+    reference utility `gpsig/lags.py:7-38` — but the left bracketing index
+    comes from ``searchsorted`` instead of the reference's argmax over an
+    (L x L) masked pairwise-distance tensor.
+
+    Args:
+      X: ``(N, L, d)`` sequence values.
+      times: ``(L,)`` or ``(N, L)`` increasing sample times.
+      query_times: ``(Q,)`` or ``(N, Q)`` query times (clamped to the sample
+        range, matching the reference's boundary behavior).
+
+    Returns: ``(N, Q, d)`` interpolated values.
+    """
+    X = jnp.asarray(X)
+    N, L, d = X.shape
+    times = jnp.broadcast_to(jnp.asarray(times, X.dtype), (N, L))
+    query_times = jnp.asarray(query_times, X.dtype)
+    if query_times.ndim == 1:
+        query_times = jnp.broadcast_to(query_times[None], (N, query_times.shape[0]))
+
+    def one(xv, tv, qv):
+        left = jnp.clip(
+            jnp.searchsorted(tv, qv, side="right") - 1, 0, L - 2
+        )
+        t0 = tv[left]
+        t1 = tv[left + 1]
+        frac = jnp.clip((qv - t0) / jnp.maximum(t1 - t0, 1e-30), 0.0, 1.0)
+        return xv[left] + frac[:, None] * (xv[left + 1] - xv[left])
+
+    return jax.vmap(one)(X, times, query_times)
 
 
 def lin_interp_uniform(X, time_query):

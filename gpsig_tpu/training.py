@@ -73,6 +73,7 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
              history: dict | None = None,
              save_best_params: bool = False, patience: int | None = None,
              print_freq: int = 50, save_freq: int = 50,
+             save_params_history: bool = False,
              checkpoint_path: str | None = None,
              log_fn=print) -> dict:
     """Run an optimization phase.
@@ -88,6 +89,10 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
       val_scorer: callable(params) -> score or list of scores (last one used
         for best/patience tracking), evaluated every ``save_freq`` steps.
       history: resumable history dict (`training.py:166-183` semantics).
+      save_params_history: record the (constrained-on-use raw) parameter
+        pytree at every snapshot, mirroring the reference's per-snapshot
+        ``history[iter]['params']`` (`training.py:74-78`); off by default
+        to keep long runs' histories small.
       checkpoint_path: optional file; params (+ iteration) are saved there
         atomically every ``save_freq`` steps and on phase end, so crashed
         runs restart from disk (SURVEY.md §5 checkpoint/resume).
@@ -135,6 +140,8 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
                           {"params": params, "iter": np.asarray(it)})
             rec: dict[str, Any] = {"time": now, "loss": float(loss),
                                    "elbo": -float(loss)}
+            if save_params_history:
+                rec["params"] = jax.tree.map(np.asarray, params)
             if val_scorer is not None:
                 scores = val_scorer(params)
                 rec["val"] = scores
