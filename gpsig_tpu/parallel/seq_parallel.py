@@ -152,3 +152,78 @@ def seq_diag_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
         out_specs=P(),
     )
     return fn(M_inc)
+
+
+def _excl_chunk_prefix(chunk_sum, axis_name: str):
+    """Exclusive prefix over mesh chunks of per-chunk partial sums.
+
+    chunk_sum: this device's partial (any shape); returns the sum of the
+    partials of all chunks *before* this one along ``axis_name`` (an
+    ``all_gather`` of the small partials over ICI + a masked reduce)."""
+    idx = lax.axis_index(axis_name)
+    n_chunks = lax.axis_size(axis_name)
+    gathered = lax.all_gather(chunk_sum, axis_name)  # (C, ...)
+    mask = (jnp.arange(n_chunks) < idx).astype(chunk_sum.dtype)
+    mask = mask.reshape((n_chunks,) + (1,) * chunk_sum.ndim)
+    return jnp.sum(gathered * mask, axis=0)
+
+
+def _local_seq_cross_levels(M_local, num_levels: int, ax_s: str, ax_t: str):
+    """Per-device block of the full seq-vs-seq cross-Gram recursion with
+    BOTH time axes chunked (the §3.2 hot loop, `signature_algs.py:8-35`).
+
+    M_local: (N1, Ls_loc, N2, Lt_loc) block of the *increment* Gram; device
+    (a, b) on the ('ax_s', 'ax_t') mesh owns s-chunk a and t-chunk b.
+
+    Per level the double exclusive cumsum decomposes into local cumsums plus
+    two carry states:
+
+      * carry_t: (N1, Ls_loc, N2) exclusive prefix (over t-chunks) of the
+        t-sums of R — exchanged along ``ax_t``;
+      * carry_s: (N1, N2, Lt_loc) exclusive prefix (over s-chunks) of the
+        s-sums of (carry_t + local t-cumsum) — exchanged along ``ax_s``.
+
+    Both carries are L-chunk-local slabs, so communication per level is two
+    small all_gathers + the final psum — independent of the full L1*L2.
+    """
+    dtype = M_local.dtype
+    N1, _, N2, _ = M_local.shape
+
+    K = [jnp.ones((N1, N2), dtype=dtype),
+         lax.psum(jnp.sum(M_local, axis=(1, 3)), (ax_s, ax_t))]
+    R = M_local
+    for _ in range(2, num_levels + 1):
+        # exclusive cumsum over the t axis (3): local + cross-chunk carry
+        carry_t = _excl_chunk_prefix(jnp.sum(R, axis=3), ax_t)
+        inner_t = carry_t[..., None] + cumsum_exclusive(R, axis=3)
+        # exclusive cumsum over the s axis (1): local + cross-chunk carry
+        carry_s = _excl_chunk_prefix(jnp.sum(inner_t, axis=1), ax_s)
+        inner = carry_s[:, None, :, :] + cumsum_exclusive(inner_t, axis=1)
+        R = M_local * inner
+        K.append(lax.psum(jnp.sum(R, axis=(1, 3)), (ax_s, ax_t)))
+    return jnp.stack(K, axis=0)
+
+
+def seq_cross_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
+                                  axes: tuple[str, str] = ("seq1", "seq2")):
+    """Exact (num_levels+1, N1, N2) seq-vs-seq per-level kernels with both
+    time axes sharded over a 2-D mesh (SURVEY §2.4 SP row: the time-axis
+    cumsum recursion is an associative scan; chunk L across devices and
+    carry per-chunk prefix states over ICI — exact, not approximate).
+
+    Args:
+      mesh: mesh containing both ``axes`` dimensions.
+      M_inc: (N1, L1-1, N2, L2-1) increment Gram (already differenced,
+        `signature_algs.py:26`); axes 1 and 3 sharded over ``axes``.
+    """
+    ax_s, ax_t = axes
+    fn = shard_map(
+        functools.partial(
+            _local_seq_cross_levels, num_levels=num_levels,
+            ax_s=ax_s, ax_t=ax_t,
+        ),
+        mesh=mesh,
+        in_specs=P(None, ax_s, None, ax_t),
+        out_specs=P(),
+    )
+    return fn(M_inc)
