@@ -14,6 +14,24 @@ with open(os.path.join(_HERE, "datasets.json")) as f:
     DATASETS = json.load(f)
 
 
+def _best_arch(name, rnn_type, default_hidden):
+    """Gridsearch results first, then the reference's shipped table
+    (`architectures.json`: GRU/LSTM entries with H / D flags)."""
+    path = os.path.join(_HERE, "architectures.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            arch = json.load(f)
+        key = f"gprnn{rnn_type}"
+        if name in arch and key in arch[name]:
+            return arch[name][key]
+        ref_key = {"lstm": "LSTM", "gru": "GRU"}[rnn_type]
+        if ref_key in arch and name in arch[ref_key]:
+            hd = arch[ref_key][name]
+            return {"num_hidden": int(hd["H"]),
+                    "dropout": 0.25 if hd.get("D") else 0.0}
+    return {"num_hidden": default_hidden, "dropout": 0.0}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
@@ -31,8 +49,10 @@ def main():
             if os.path.exists(marker):
                 print(f"skip {name}_{r} (exists)")
                 continue
+            arch = _best_arch(name, args.rnn_type, args.num_hidden)
             train_gprnn_classifier(
-                name, rnn_type=args.rnn_type, num_hidden=args.num_hidden,
+                name, rnn_type=args.rnn_type,
+                num_hidden=int(arch["num_hidden"]),
                 val_split=0.1, experiment_idx=r, save_dir=save_dir,
                 epochs_cap=args.epochs_cap, seed=r,
             )

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--num-inducing", type=int, default=500)
     ap.add_argument("--max-len", type=int, default=500)
     ap.add_argument("--num-lags", type=int, default=1)
+    ap.add_argument("--data-dir", default=None,
+                    help="directory with <name>.mat files (e.g. "
+                         "benchmarks/datasets after make_synthetic.py)")
     args = ap.parse_args()
 
     for r in range(args.repeats):
@@ -41,7 +44,7 @@ def main():
                 num_inducing=args.num_inducing, max_len=args.max_len,
                 num_lags=args.num_lags, increments=True,
                 val_split=0.1, experiment_idx=r, save_dir=args.save_dir,
-                epochs_cap=args.epochs_cap, seed=r,
+                epochs_cap=args.epochs_cap, data_dir=args.data_dir, seed=r,
             )
 
 

@@ -15,6 +15,10 @@ with open(os.path.join(_HERE, "datasets.json")) as f:
 
 
 def _best_arch(name, rnn_type):
+    """Architecture lookup: in-env gridsearch results first, then the
+    reference's shipped table (model-first schema with H / D flags, D=1
+    meaning dropout 0.25 + recurrent dropout 0.05,
+    `train_gpsigrnn.py:54-55`)."""
     path = os.path.join(_HERE, "architectures.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -22,6 +26,11 @@ def _best_arch(name, rnn_type):
         key = f"gpsig{rnn_type}"
         if name in arch and key in arch[name]:
             return arch[name][key]
+        ref_key = {"lstm": "SigLSTM", "gru": "SigGRU"}[rnn_type]
+        if ref_key in arch and name in arch[ref_key]:
+            hd = arch[ref_key][name]
+            return {"num_hidden": int(hd["H"]),
+                    "dropout": 0.25 if hd.get("D") else 0.0}
     return {"num_hidden": 32, "dropout": 0.0}
 
 
@@ -45,6 +54,7 @@ def main():
             train_gpsigrnn_classifier(
                 name, rnn_type=args.rnn_type,
                 num_hidden=int(arch.get("num_hidden", 32)),
+                dropout=float(arch.get("dropout", 0.0)),
                 val_split=0.1, experiment_idx=r, save_dir=save_dir,
                 epochs_cap=args.epochs_cap, seed=r,
             )
