@@ -60,11 +60,21 @@ def bench_svgp(quick: bool = False):
     """Secondary metric (BASELINE.json): SVGP ELBO steps/sec at the
     reference's benchmark configuration (`run_gpsig_benchmarks.py:32-33`:
     M=4, 500 incremental inducing tensors, minibatch 50, SignatureRBF;
-    ArabicDigits-like shapes d=14 incl. time, L=93 -> padded)."""
+    ArabicDigits-like shapes d=14 incl. time, L=93 -> padded).
+
+    value       = steps/sec of the fast path (fused Pallas Kzz/Kzx
+                  covariance kernels, `ops/inducing_pallas.py`).
+    vs_baseline = speedup over the same-chip reference-equivalent step:
+                  the reference's algorithmic graph (monolithic base Grams,
+                  naive second differencing, cumsum-ladder recursions,
+                  `gpsig/signature_algs.py:76-160`) with the same fused
+                  Kuu_Kuf_Kff structure the reference uses, run f32.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
+    import gpsig_tpu.kernels as kernels_mod
     from gpsig_tpu import (
         SVGP, InducingTensors, kernels, likelihoods, training,
         utils as gp_utils,
@@ -101,32 +111,45 @@ def bench_svgp(quick: bool = False):
 
     reps = 10
 
-    @jax.jit
-    def run(p, s):
+    def time_steps():
         # unrolled steps over distinct minibatches in ONE dispatch
         # (axon relay memoizes identical calls; see timing notes above)
-        losses = []
-        for i in range(reps):
-            xb = jax.lax.dynamic_slice_in_dim(Xd, i * batch, batch)
-            yb = jax.lax.dynamic_slice_in_dim(Yd, i * batch, batch)
-            p, s, loss = step(p, s, xb, yb)
-            losses.append(loss)
-        return p, s, jnp.stack(losses)
+        @jax.jit
+        def run(p, s):
+            losses = []
+            for i in range(reps):
+                xb = jax.lax.dynamic_slice_in_dim(Xd, i * batch, batch)
+                yb = jax.lax.dynamic_slice_in_dim(Yd, i * batch, batch)
+                p, s, loss = step(p, s, xb, yb)
+                losses.append(loss)
+            return p, s, jnp.stack(losses)
 
-    p, s, losses = run(params, state)
-    float(losses[0])
-    t0 = time.perf_counter()
-    p, s, losses = run(p, s)
-    lvals = np.asarray(losses)
-    t = (time.perf_counter() - t0) / reps
-    assert np.all(np.isfinite(lvals))
+        p, s, losses = run(params, state)
+        float(losses[0])
+        t0 = time.perf_counter()
+        p, s, losses = run(p, s)
+        lvals = np.asarray(losses)
+        t = (time.perf_counter() - t0) / reps
+        assert np.all(np.isfinite(lvals))
+        return t
+
+    t_fast = time_steps()
+
+    # reference-equivalent leg: force the XLA (reference-graph) covariances
+    orig = kernels_mod.SignatureKernel._fused_tens_ok
+    kernels_mod.SignatureKernel._fused_tens_ok = lambda self: False
+    try:
+        t_ref = time_steps()
+    finally:
+        kernels_mod.SignatureKernel._fused_tens_ok = orig
+
     return {
         "metric": f"SVGP ELBO steps/sec (N={N}, L={L}, d={d}, M={M}, "
                   f"{n_ind} incr. inducing tensors, batch {batch}, "
-                  f"MultiClass C={C}, f32, 1 chip)",
-        "value": round(1.0 / t, 2),
+                  f"MultiClass C={C}, f32 fused covariances, 1 chip)",
+        "value": round(1.0 / t_fast, 2),
         "unit": "steps/sec",
-        "vs_baseline": None,
+        "vs_baseline": round(t_ref / t_fast, 2),
     }
 
 

@@ -237,7 +237,25 @@ class SignatureKernel:
             M, self.num_levels, order=self.order, difference=self.difference
         )
 
+    def _fused_tens_ok(self):
+        """Dispatch the fused Pallas inducing-covariance kernels: TPU
+        backend, f32 regime, base kernel with a closed-form augmentation
+        (`ops/inducing_pallas.py`); anything else falls back to the XLA
+        reference path (which is also the f64 validation path)."""
+        return (
+            self.base in ("rbf", "linear")
+            and not jax.config.jax_enable_x64
+            and jax.default_backend() == "tpu"
+        )
+
     def _K_tens(self, cp: dict, Z, increments: bool):
+        if self._fused_tens_ok():
+            from .ops import inducing_pallas as ind_pallas
+
+            return ind_pallas.fused_tensor_levels(
+                Z, num_levels=self.num_levels, base=self.base,
+                increments=increments,
+            )
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
         d = Z.shape[-1]
@@ -251,6 +269,13 @@ class SignatureKernel:
         return sig_ops.tensor_kern(M, self.num_levels)
 
     def _K_tens_vs_seq(self, cp: dict, Z, X, increments: bool):
+        if self.order == 1 and self._fused_tens_ok():
+            from .ops import inducing_pallas as ind_pallas
+
+            return ind_pallas.fused_tens_vs_seq_levels(
+                Z, X, num_levels=self.num_levels, base=self.base,
+                increments=increments, difference=self.difference,
+            )
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
         d = Z.shape[-1]
