@@ -444,16 +444,22 @@ class SignatureKernel:
         jitter = cfg.jitter()
 
         if method == "pallas":
-            if self.order != 1:
-                raise NotImplementedError(
-                    "method='pallas' supports order=1; use method='xla'"
-                )
-            if jax.config.jax_enable_x64:
+            # Dispatch story (documented): the fused kernel covers the
+            # hot configurations — order=1, rbf/linear base, f32.  Higher
+            # discretization orders keep the (order x order) grid of
+            # partial tensors (`signature_algs.py:60-72`), whose VMEM
+            # working set and backward sweep don't pay off at typical
+            # (small-L) higher-order workloads, so they fall back to the
+            # blocked XLA path below — same math, still MXU cumsums.
+            if self.order != 1 or self.base not in ("rbf", "linear"):
+                method = "xla"
+            elif jax.config.jax_enable_x64:
                 raise ValueError(
                     "method='pallas' is incompatible with jax_enable_x64 "
                     "(Mosaic tracing recurses on x64 weak types); use "
                     "method='xla' for float64 validation runs"
                 )
+        if method == "pallas":
             return self._k_pallas(
                 cp, Xs, X2, block_size=block_size,
                 diag_block_size=diag_block_size,
