@@ -208,7 +208,20 @@ class SignatureKernel:
     # ------------------------------------------------------------------
 
     def _K_seq(self, cp: dict, X, X2=None):
-        """(M+1, N1, N2) unnormalized per-level kernels."""
+        """(M+1, N1, N2) unnormalized per-level kernels.
+
+        On the TPU f32 path with a supported base and order 1 this runs the
+        fused Pallas seq kernel (VMEM-resident tiles, custom VJP) — so
+        ``K()`` and the InducingSequences covariances
+        (``K_seq_n_seq_covs``) never materialize the (N1, L, N2, L) Gram;
+        other configurations keep the reference-shaped XLA graph."""
+        if self.order == 1 and self.difference and self._fused_tens_ok():
+            from .ops import signature_pallas as sp
+
+            return sp.fused_first_order_levels(
+                X, X2, num_levels=self.num_levels, base=self.base,
+                fast_math="high",
+            )
         kern = self._base_kern(cp)
         N1, L1, d = X.shape
         if X2 is None:
