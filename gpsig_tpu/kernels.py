@@ -215,12 +215,12 @@ class SignatureKernel:
         ``K()`` and the InducingSequences covariances
         (``K_seq_n_seq_covs``) never materialize the (N1, L, N2, L) Gram;
         other configurations keep the reference-shaped XLA graph."""
-        if self.order == 1 and self.difference and self._fused_tens_ok():
+        if self.difference and self._fused_tens_ok():
             from .ops import signature_pallas as sp
 
             return sp.fused_first_order_levels(
-                X, X2, num_levels=self.num_levels, base=self.base,
-                fast_math="high",
+                X, X2, num_levels=self.num_levels, order=self.order,
+                base=self.base, fast_math="high",
             )
         kern = self._base_kern(cp)
         N1, L1, d = X.shape
@@ -457,14 +457,12 @@ class SignatureKernel:
         jitter = cfg.jitter()
 
         if method == "pallas":
-            # Dispatch story (documented): the fused kernel covers the
-            # hot configurations — order=1, rbf/linear base, f32.  Higher
-            # discretization orders keep the (order x order) grid of
-            # partial tensors (`signature_algs.py:60-72`), whose VMEM
-            # working set and backward sweep don't pay off at typical
-            # (small-L) higher-order workloads, so they fall back to the
+            # Dispatch story (documented): the fused kernel covers all
+            # orders for rbf/linear bases at f32 (higher orders keep the
+            # (order x order) grid of partial tensors in VMEM,
+            # `signature_algs.py:60-72`); other bases fall back to the
             # blocked XLA path below — same math, still MXU cumsums.
-            if self.order != 1 or self.base not in ("rbf", "linear"):
+            if self.base not in ("rbf", "linear"):
                 method = "xla"
             elif jax.config.jax_enable_x64:
                 raise ValueError(
@@ -539,8 +537,8 @@ class SignatureKernel:
             X2s = None
 
         K_lvls = sp.fused_first_order_levels(
-            Xs, X2s, num_levels=self.num_levels, base=base,
-            difference=self.difference, block_i=block_size,
+            Xs, X2s, num_levels=self.num_levels, order=self.order,
+            base=base, difference=self.difference, block_i=block_size,
             block_j=max(8, block_size // 2), fast_math=fast_math,
         )
         if self.normalization:

@@ -204,9 +204,150 @@ def _increment_gram_row(xa, dxa, xj, dxj, base, difference, tail_mask, hdot):
     )
 
 
+def _pair_levels_fwd(M, num_levels, order, cum_rows, cum_lanes):
+    """Per-pair level sums [(1,1) scalars for levels 1..M] on a 2-D tile.
+
+    order == 1: R <- M * cumsum_excl_s(cumsum_excl_t(R)).
+    order > 1: the (order x order) grid of partial tensors with 1/j, 1/k
+    scalings (`signature_algs.py:60-72`), all tiles kept 2-D so both
+    cumsums stay relayout-free matmuls.
+    """
+    sums = [jnp.full((1, 1), jnp.sum(M), jnp.float32)]
+    if order == 1:
+        R = M
+        for _ in range(2, num_levels + 1):
+            R = M * cum_lanes(cum_rows(R))
+            sums.append(jnp.full((1, 1), jnp.sum(R), jnp.float32))
+        return sums
+    R = {(0, 0): M}
+    for i in range(2, num_levels + 1):
+        d = min(i, order)
+        Rn = {}
+        R_sum = sum(R.values())
+        Rn[(0, 0)] = M * cum_lanes(cum_rows(R_sum))
+        for j in range(2, d + 1):
+            row_sum = sum(R[(a, j - 2)] for a in range(d) if (a, j - 2) in R)
+            col_sum = sum(R[(j - 2, b)] for b in range(d) if (j - 2, b) in R)
+            Rn[(0, j - 1)] = (1.0 / j) * M * cum_rows(row_sum)
+            Rn[(j - 1, 0)] = (1.0 / j) * M * cum_lanes(col_sum)
+            for k2 in range(2, d + 1):
+                Rn[(j - 1, k2 - 1)] = (
+                    (1.0 / (j * k2)) * M * R[(j - 2, k2 - 2)]
+                )
+        R = Rn
+        sums.append(
+            jnp.full((1, 1), jnp.sum(sum(R.values())), jnp.float32)
+        )
+    return sums
+
+
+def _pair_forward_to(M, upto, order, cum_rows, cum_lanes):
+    """Recompute the higher-order tile grid R^(upto) (upto >= 1)."""
+    R = {(0, 0): M}
+    for i in range(2, upto + 1):
+        d = min(i, order)
+        Rn = {}
+        R_sum = sum(R.values())
+        Rn[(0, 0)] = M * cum_lanes(cum_rows(R_sum))
+        for j in range(2, d + 1):
+            row_sum = sum(R[(a, j - 2)] for a in range(d) if (a, j - 2) in R)
+            col_sum = sum(R[(j - 2, b)] for b in range(d) if (j - 2, b) in R)
+            Rn[(0, j - 1)] = (1.0 / j) * M * cum_rows(row_sum)
+            Rn[(j - 1, 0)] = (1.0 / j) * M * cum_lanes(col_sum)
+            for k2 in range(2, d + 1):
+                Rn[(j - 1, k2 - 1)] = (
+                    (1.0 / (j * k2)) * M * R[(j - 2, k2 - 2)]
+                )
+        R = Rn
+    return R
+
+
+def _pair_levels_bwd(M, gb, num_levels, order, cum_rows, cum_lanes):
+    """Per-pair Mbar from level-sum cotangents gb[m] (scalars), any order.
+
+    order == 1 mirrors the first-order reverse sweep; order > 1 runs the
+    grid recursion's adjoint with per-level forward recompute (the tile
+    grids are too large to stash across the whole sweep)."""
+    f32 = jnp.float32
+    shape = M.shape
+    if order == 1:
+        Cs = []
+        R = M
+        for _ in range(2, num_levels + 1):
+            C = cum_lanes(cum_rows(R))
+            Cs.append(C)
+            R = M * C
+        Rbar = jnp.full(shape, gb[num_levels], f32)
+        Mbar = jnp.zeros(shape, f32)
+        for m in range(num_levels - 1, 0, -1):
+            Mbar = Mbar + Cs[m - 1] * Rbar
+            Rbar = gb[m] + cum_lanes(
+                cum_rows(M * Rbar, reverse=True), reverse=True
+            )
+        return Mbar + Rbar
+
+    Mbar = jnp.zeros(shape, f32)
+    # cotangent grid for the CURRENT level i (initialized at i = M)
+    Rbar = {key: jnp.full(shape, gb[num_levels], f32)
+            for key in _grid_keys(num_levels, order)}
+    for i in range(num_levels, 1, -1):
+        d = min(i, order)
+        Rprev = _pair_forward_to(M, i - 1, order, cum_rows, cum_lanes)
+        Rbar_prev = {key: jnp.full(shape, gb[i - 1], f32)
+                     for key in _grid_keys(i - 1, order)}
+        # Rn[(0,0)] = M * cum_lanes(cum_rows(sum Rprev))
+        C00 = cum_lanes(cum_rows(sum(Rprev.values())))
+        Mbar = Mbar + Rbar[(0, 0)] * C00
+        Sbar = cum_rows(cum_lanes(M * Rbar[(0, 0)], reverse=True),
+                        reverse=True)
+        for key in Rbar_prev:
+            Rbar_prev[key] = Rbar_prev[key] + Sbar
+        for j in range(2, d + 1):
+            row_keys = [(a, j - 2) for a in range(d) if (a, j - 2) in Rprev]
+            col_keys = [(j - 2, b) for b in range(d) if (j - 2, b) in Rprev]
+            # Rn[(0, j-1)] = (1/j) M * cum_rows(sum row_keys)
+            row_sum = sum(Rprev[k2] for k2 in row_keys)
+            Mbar = Mbar + (1.0 / j) * Rbar[(0, j - 1)] * cum_rows(row_sum)
+            Tbar = (1.0 / j) * cum_rows(M * Rbar[(0, j - 1)], reverse=True)
+            for k2 in row_keys:
+                Rbar_prev[k2] = Rbar_prev[k2] + Tbar
+            # Rn[(j-1, 0)] = (1/j) M * cum_lanes(sum col_keys)
+            col_sum = sum(Rprev[k2] for k2 in col_keys)
+            Mbar = Mbar + (1.0 / j) * Rbar[(j - 1, 0)] * cum_lanes(col_sum)
+            Ubar = (1.0 / j) * cum_lanes(M * Rbar[(j - 1, 0)], reverse=True)
+            for k2 in col_keys:
+                Rbar_prev[k2] = Rbar_prev[k2] + Ubar
+            for k2 in range(2, d + 1):
+                src = (j - 2, k2 - 2)
+                if src in Rprev:
+                    w = 1.0 / (j * k2)
+                    Mbar = Mbar + w * Rbar[(j - 1, k2 - 1)] * Rprev[src]
+                    Rbar_prev[src] = (
+                        Rbar_prev[src] + w * M * Rbar[(j - 1, k2 - 1)]
+                    )
+        Rbar = Rbar_prev
+    # level 1: R^(1) = {(0,0): M}
+    return Mbar + Rbar[(0, 0)]
+
+
+def _grid_keys(level, order):
+    """Tile-grid keys present in R^(level) (level >= 1)."""
+    if level == 1:
+        return [(0, 0)]
+    d = min(level, order)
+    keys = {(0, 0)}
+    for j in range(2, d + 1):
+        keys.add((0, j - 1))
+        keys.add((j - 1, 0))
+        for k2 in range(2, d + 1):
+            keys.add((j - 1, k2 - 1))
+    return sorted(keys)
+
+
 def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
                 BJ: int, L: int, L_true: int, d: int, num_levels: int,
-                base: str, difference: bool, symmetric: bool, precision):
+                order: int, base: str, difference: bool, symmetric: bool,
+                precision):
     f32 = jnp.float32
     BJL = BJ * L
     W = out_ref.shape[-1]  # padded full output width (multiple of 128)
@@ -261,12 +402,9 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
             cols = []
             for b in range(BJ):
                 M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
-                sums = [jnp.full((1, 1), 1.0, f32),
-                        jnp.full((1, 1), jnp.sum(M), f32)]
-                R = M
-                for _ in range(2, num_levels + 1):
-                    R = M * cum_lanes(cum_rows(R))
-                    sums.append(jnp.full((1, 1), jnp.sum(R), f32))
+                sums = [jnp.full((1, 1), 1.0, f32)] + _pair_levels_fwd(
+                    M, num_levels, order, cum_rows, cum_lanes
+                )
                 cols.append(jnp.concatenate(sums, axis=0))  # (M+1, 1)
             levels2d = jnp.concatenate(cols, axis=1)  # (M+1, BJ)
 
@@ -350,16 +488,16 @@ def _prep_inputs(X, base: str, difference: bool, lhs: bool):
 
 
 def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
-              L_pad: int, L_true: int, num_levels: int, base: str,
-              difference: bool, symmetric: bool, fast_math: bool,
+              L_pad: int, L_true: int, num_levels: int, order: int,
+              base: str, difference: bool, symmetric: bool, fast_math,
               interpret: bool):
     d_k = Xf.shape[0]
     W = max(128, -(-(nb2 * BJ) // 128) * 128)
 
     kernel = functools.partial(
         _kernel_fwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true, d=d_k,
-        num_levels=num_levels, base=base, difference=difference,
-        symmetric=symmetric,
+        num_levels=num_levels, order=order, base=base,
+        difference=difference, symmetric=symmetric,
         precision=_recursion_precision(fast_math),
     )
 
@@ -389,9 +527,10 @@ def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
 
 
 def fused_first_order_levels(X, X2=None, *, num_levels: int,
-                             base: str = "rbf", difference: bool = True,
+                             order: int = 1, base: str = "rbf",
+                             difference: bool = True,
                              block_i: int = 16, block_j: int = 8,
-                             fast_math: bool = True,
+                             fast_math=True,
                              interpret: bool = False):
     """(num_levels+1, N1, N2) per-level signature kernels, fully fused.
 
@@ -421,8 +560,8 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     nb2 = -(-N2 // BJ)
 
     core = _make_fused_core(
-        num_levels, base, difference, symmetric, nb1, nb2, BI, BJ, L_pad, L,
-        fast_math, interpret,
+        num_levels, order, base, difference, symmetric, nb1, nb2, BI, BJ,
+        L_pad, L, fast_math, interpret,
     )
     out = core(X, X2)
     out = out[:, :N1, :N2]
@@ -456,8 +595,8 @@ def _prep_all(X, X2, base, difference, nb1, nb2, BI, BJ, L_pad):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_core(num_levels, base, difference, symmetric, nb1, nb2, BI,
-                     BJ, L_pad, L_true, fast_math, interpret):
+def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
+                     nb2, BI, BJ, L_pad, L_true, fast_math, interpret):
     """Custom-VJP core (per static config): (X, X2) -> padded level stack.
 
     X/X2 are the raw (N, L, d) sequences; padding and input prep happen
@@ -472,8 +611,8 @@ def _make_fused_core(num_levels, base, difference, symmetric, nb1, nb2, BI,
         Xf, dXf, X2f, dX2f = prep(X, X2)
         out = _fwd_call(
             Xf, dXf, X2f, dX2f, nb1=nb1, nb2=nb2, BI=BI, BJ=BJ,
-            L_pad=L_pad, L_true=L_true, num_levels=num_levels, base=base,
-            difference=difference, symmetric=symmetric,
+            L_pad=L_pad, L_true=L_true, num_levels=num_levels, order=order,
+            base=base, difference=difference, symmetric=symmetric,
             fast_math=fast_math, interpret=interpret,
         )
         return out, (X, X2)
@@ -489,8 +628,9 @@ def _make_fused_core(num_levels, base, difference, symmetric, nb1, nb2, BI,
         gXf, gdXf, gX2f, gdX2f = _bwd_call(
             Xf, dXf, X2f, dX2f, ct.astype(jnp.float32), nb1=nb1, nb2=nb2,
             BI=BI, BJ=BJ, L_pad=L_pad, L_true=L_true,
-            num_levels=num_levels, base=base, difference=difference,
-            symmetric=symmetric, fast_math=fast_math, interpret=interpret,
+            num_levels=num_levels, order=order, base=base,
+            difference=difference, symmetric=symmetric,
+            fast_math=fast_math, interpret=interpret,
         )
         gX, gX2 = pullback((gXf.astype(Xf.dtype), gdXf.astype(dXf.dtype),
                             gX2f.astype(X2f.dtype),
@@ -503,7 +643,7 @@ def _make_fused_core(num_levels, base, difference, symmetric, nb1, nb2, BI,
 
 def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
                 gxj_ref, gdxj_ref, *, BI: int, BJ: int, L: int, L_true: int,
-                num_levels: int, base: str, difference: bool,
+                num_levels: int, order: int, base: str, difference: bool,
                 symmetric: bool, precision):
     """Backward kernel for one (i, j) grid cell.
 
@@ -598,26 +738,10 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
             Mbar_cols = []
             for b in range(BJ):
                 M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
-                # forward recompute, stashing C_m = A R_{m-1} B
-                Cs = []
-                R = M
-                for _ in range(2, num_levels + 1):
-                    C = cum_lanes(cum_rows(R))
-                    Cs.append(C)
-                    R = M * C
-                # reverse sweep
                 gb = [g[m, b] for m in range(num_levels + 1)]
-                Rbar = jnp.full((Ls, L), gb[num_levels], f32)
-                Mbar = jnp.zeros((Ls, L), f32)
-                for m in range(num_levels - 1, 0, -1):
-                    Mbar = Mbar + Cs[m - 1] * Rbar
-                    # adjoint of the double exclusive cumsum = the reversed
-                    # double exclusive cumsum
-                    Rbar = gb[m] + cum_lanes(
-                        cum_rows(M * Rbar, reverse=True), reverse=True
-                    )
-                Mbar = Mbar + Rbar  # R_1 = M contributes Rbar_1 directly
-                Mbar_cols.append(Mbar)
+                Mbar_cols.append(_pair_levels_bwd(
+                    M, gb, num_levels, order, cum_rows, cum_lanes
+                ))
             Mbar_full = jnp.concatenate(Mbar_cols, axis=1)  # (Ls, BJL)
 
             # pull Mbar back through the increment algebra into flat inputs.
@@ -700,16 +824,16 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
 
 
 def _bwd_call(Xf, dXf, X2f, dX2f, ct, *, nb1: int, nb2: int, BI: int,
-              BJ: int, L_pad: int, L_true: int, num_levels: int, base: str,
-              difference: bool, symmetric: bool, fast_math: bool,
+              BJ: int, L_pad: int, L_true: int, num_levels: int, order: int,
+              base: str, difference: bool, symmetric: bool, fast_math,
               interpret: bool):
     """Pallas backward: grads w.r.t. the four flat (d, N*L) inputs."""
     d_k = Xf.shape[0]
 
     kernel = functools.partial(
         _kernel_bwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true,
-        num_levels=num_levels, base=base, difference=difference,
-        symmetric=symmetric,
+        num_levels=num_levels, order=order, base=base,
+        difference=difference, symmetric=symmetric,
         precision=_recursion_precision(fast_math),
     )
 

@@ -76,6 +76,41 @@ def test_unsupported_base_raises():
         )
 
 
+@pytest.mark.parametrize("order", [2, 4])
+def test_fused_higher_order_matches_direct(order):
+    """Order>1 runs the (order x order) grid recursion inside the fused
+    kernel (fwd + custom VJP)."""
+    N1, N2, L, d, M = 4, 3, 12, 2, 4
+    X = (RNG.randn(N1, L, d) / 3).astype(np.float32)
+    X2 = (RNG.randn(N2, L, d) / 3).astype(np.float32)
+    ref = jnp.asarray(np.asarray(sig_ops.signature_kern_higher_order(
+        base_kernels.get("rbf")({}, jnp.asarray(X.reshape(-1, d)),
+                                jnp.asarray(X2.reshape(-1, d))
+                                ).reshape(N1, L, N2, L), M, order=order)))
+    out = sp.fused_first_order_levels(
+        jnp.asarray(X), jnp.asarray(X2), num_levels=M, order=order,
+        base="rbf", block_i=4, block_j=2, fast_math=False, interpret=True,
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4 * max(scale, 1)
+
+    def w(o):
+        return jnp.sum(o * jnp.cos(
+            jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape)))
+
+    g1 = jax.grad(lambda a: w(sp.fused_first_order_levels(
+        a, jnp.asarray(X2), num_levels=M, order=order, base="rbf",
+        block_i=4, block_j=2, fast_math=False, interpret=True)))(
+            jnp.asarray(X))
+    g2 = jax.grad(lambda a: w(sig_ops.signature_kern_higher_order(
+        base_kernels.get("rbf")({}, a.reshape(-1, d),
+                                jnp.asarray(X2.reshape(-1, d))
+                                ).reshape(N1, L, N2, L), M, order=order)))(
+            jnp.asarray(X))
+    gs = float(jnp.max(jnp.abs(g2)))
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 2e-3 * max(gs, 1)
+
+
 @pytest.mark.parametrize("symmetric", [False, True])
 def test_fused_custom_vjp_matches_xla_grad(symmetric):
     """jax.grad through the fused kernel (backward Pallas kernel) == grad
