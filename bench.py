@@ -231,10 +231,20 @@ def main():
     entries_per_sec = timed(fast, X, N * N, reps)
 
     # --- reference-equivalent baseline (same chip, f32, unblocked graph) ---
+    # K() normally auto-dispatches to the fused kernel on TPU; the baseline
+    # leg must run the reference's algorithmic graph (monolithic base Gram +
+    # cumsum ladders), so force the XLA path for its timing.
+    import gpsig_tpu.kernels as kernels_mod
+
     X_ref = X[:N_ref]
-    ref_entries_per_sec = timed(
-        lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 3
-    )
+    orig_ok = kernels_mod.SignatureKernel._fused_tens_ok
+    kernels_mod.SignatureKernel._fused_tens_ok = lambda self: False
+    try:
+        ref_entries_per_sec = timed(
+            lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 3
+        )
+    finally:
+        kernels_mod.SignatureKernel._fused_tens_ok = orig_ok
     K = jax.jit(fast)(X)
 
     # numerical agreement of the fast path vs a float64 numpy reference
