@@ -522,7 +522,11 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
                    gxd_ref, *, BN: int, Lp: int, L_true: int, lt: int,
                    num_levels: int, base: str, increments: bool,
                    difference: bool, precision):
+    """gz accumulates across the (inner) example sweep in VMEM — its block
+    index ignores n, so the slab is written back to HBM once per z-block
+    instead of once per (z-block, example) cell."""
     i = pl.program_id(0)
+    n_id = pl.program_id(1)
     cum_rows, cum_lanes = _make_cumsums(precision)
     if difference:
         tail_mask = None
@@ -561,8 +565,10 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
                 vl, dl, xv, xd, Mbar, base, increments, difference,
                 tail_mask,
             )
-            gz_ref[0, 0, k] = g_vl
-            gz_ref[0, 0, lt + k] = g_dl
+            gz_ref[0, k] = jnp.where(n_id == 0, g_vl,
+                                     gz_ref[0, k] + g_vl)
+            gz_ref[0, lt + k] = jnp.where(n_id == 0, g_dl,
+                                          gz_ref[0, lt + k] + g_dl)
             g_xv = g_xv + gxv_c
             g_xd = g_xd + gxd_c
             if a > 0:
@@ -661,8 +667,8 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
             grid=(nb, N),
             in_specs=[spec_z, spec_z, spec_x, spec_x, ct_spec],
             out_specs=[
-                pl.BlockSpec((1, 1, 2 * lt, d2, BN),
-                             lambda i, n: (i, n, 0, 0, 0),
+                pl.BlockSpec((1, 2 * lt, d2, BN),
+                             lambda i, n: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, d2, Lp), lambda i, n: (i, n, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -670,13 +676,13 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, N, 2 * lt, d2, BN), f32),
+                jax.ShapeDtypeStruct((nb, 2 * lt, d2, BN), f32),
                 jax.ShapeDtypeStruct((nb, N, d2, Lp), f32),
                 jax.ShapeDtypeStruct((nb, N, d2, Lp), f32),
             ],
             interpret=interpret,
         )(Vl, Dl, Xv, Xd, ct)
-        gZl = jnp.transpose(gz.sum(axis=1), (1, 2, 0, 3)).reshape(
+        gZl = jnp.transpose(gz, (1, 2, 0, 3)).reshape(
             2 * lt, d2, nZp
         )
         gVl, gDl = gZl[:lt], gZl[lt:]
