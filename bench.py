@@ -74,7 +74,6 @@ def bench_svgp(quick: bool = False):
     import jax.numpy as jnp
     import optax
 
-    import gpsig_tpu.kernels as kernels_mod
     from gpsig_tpu import (
         SVGP, InducingTensors, kernels, likelihoods, training,
         utils as gp_utils,
@@ -91,11 +90,16 @@ def bench_svgp(quick: bool = False):
     Z = gp_utils.suggest_initial_inducing_tensors(
         X, M, n_ind, labels=y, increments=True, seed=0
     )
-    kern = kernels.SignatureRBF(
-        d, M, lengthscales=gp_utils.suggest_initial_lengthscales(X, 1000)
-    )
-    model = SVGP(kern, InducingTensors(Z, M, increments=True),
-                 likelihoods.MultiClass(C), num_latent=C, num_data=N)
+    ls = gp_utils.suggest_initial_lengthscales(X, 1000)
+    kern = kernels.SignatureRBF(d, M, lengthscales=ls)
+    # reference-equivalent leg: same math, public dispatch switch forces the
+    # XLA (reference-graph) covariances (monolithic base Grams + cumsum
+    # ladders) instead of the fused Pallas kernels
+    kern_ref = kernels.SignatureRBF(d, M, lengthscales=ls, fused="off")
+    ind = InducingTensors(Z, M, increments=True)
+    lik = likelihoods.MultiClass(C)
+    model = SVGP(kern, ind, lik, num_latent=C, num_data=N)
+    model_ref = SVGP(kern_ref, ind, lik, num_latent=C, num_data=N)
     params = jax.tree.map(
         lambda v: jnp.asarray(v, jnp.float32), model.init_params()
     )
@@ -104,14 +108,13 @@ def bench_svgp(quick: bool = False):
     Xd = jnp.asarray(X)
     Yd = jnp.asarray(y[:, None], jnp.float32)
 
-    def step(p, s, xb, yb):
-        loss, g = jax.value_and_grad(model.loss)(p, xb, yb)
-        u, s = opt.update(g, s, p)
-        return optax.apply_updates(p, u), s, loss
-
     reps = 10
 
-    def time_steps():
+    def time_steps(m):
+        def step(p, s, xb, yb):
+            loss, g = jax.value_and_grad(m.loss)(p, xb, yb)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
         # unrolled steps over distinct minibatches in ONE dispatch
         # (axon relay memoizes identical calls; see timing notes above)
         @jax.jit
@@ -133,15 +136,8 @@ def bench_svgp(quick: bool = False):
         assert np.all(np.isfinite(lvals))
         return t
 
-    t_fast = time_steps()
-
-    # reference-equivalent leg: force the XLA (reference-graph) covariances
-    orig = kernels_mod.SignatureKernel._fused_tens_ok
-    kernels_mod.SignatureKernel._fused_tens_ok = lambda self: False
-    try:
-        t_ref = time_steps()
-    finally:
-        kernels_mod.SignatureKernel._fused_tens_ok = orig
+    t_fast = time_steps(model)
+    t_ref = time_steps(model_ref)
 
     return {
         "metric": f"SVGP ELBO steps/sec (N={N}, L={L}, d={d}, M={M}, "
@@ -233,18 +229,14 @@ def main():
     # --- reference-equivalent baseline (same chip, f32, unblocked graph) ---
     # K() normally auto-dispatches to the fused kernel on TPU; the baseline
     # leg must run the reference's algorithmic graph (monolithic base Gram +
-    # cumsum ladders), so force the XLA path for its timing.
-    import gpsig_tpu.kernels as kernels_mod
-
+    # cumsum ladders), so a fused='off' kernel (public dispatch switch)
+    # pins the XLA path for its timing.
+    kern_ref = kernels.SignatureRBF(d, M, lengthscales=np.ones(d),
+                                    fused="off")
     X_ref = X[:N_ref]
-    orig_ok = kernels_mod.SignatureKernel._fused_tens_ok
-    kernels_mod.SignatureKernel._fused_tens_ok = lambda self: False
-    try:
-        ref_entries_per_sec = timed(
-            lambda x: kern.K(params, x), X_ref, N_ref * N_ref, 3
-        )
-    finally:
-        kernels_mod.SignatureKernel._fused_tens_ok = orig_ok
+    ref_entries_per_sec = timed(
+        lambda x: kern_ref.K(params, x), X_ref, N_ref * N_ref, 3
+    )
     K = jax.jit(fast)(X)
 
     # numerical agreement of the fast path vs a float64 numpy reference

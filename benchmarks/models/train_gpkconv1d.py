@@ -80,7 +80,9 @@ def train_gpkconv1d_classifier(
             self.svgp = m
             self._m = m
 
-        def loss(self, p, x, y):
+        def loss(self, p, x, y, key=None):
+            # `key` feeds encoder dropout in the hybrids; the plain SVGP
+            # model is deterministic, so it is accepted and ignored
             return self._m.loss(p, x, y)
 
         def predict_y(self, p, x, **kw):

@@ -19,13 +19,20 @@ from .train_gpsigrnn import _run_phases
 
 def train_gprnn_classifier(
     dataset: str, *, num_inducing: int = 100, num_hidden: int = 32,
-    rnn_type: str = "lstm", normalize_data: bool = True,
+    rnn_type: str = "lstm", dropout: float = 0.0,
+    recurrent_dropout: float | None = None,
+    normalize_data: bool = True,
     minibatch_size: int = 50, max_len: int = 400,
     val_split=None, test_split=None, experiment_idx=None,
     save_dir: str = "./GPRNN/", epochs_cap: int | None = None,
     data_dir: str | None = None, seed: int = 0,
 ):
-    print(f"==== GPRNN({rnn_type}, H={num_hidden}) on {dataset} ====")
+    # same use_dropout coupling as GPSigRNN (`train_gprnn.py` mirrors
+    # `train_gpsigrnn.py:54-56`): input 0.25 implies recurrent 0.05
+    if recurrent_dropout is None:
+        recurrent_dropout = 0.05 if dropout > 0.0 else 0.0
+    print(f"==== GPRNN({rnn_type}, H={num_hidden}, D={dropout}) "
+          f"on {dataset} ====")
     X_train, y_train, X_val, y_val, X_test, y_test = datasets.load_dataset(
         dataset, val_split=val_split, test_split=test_split,
         normalize_data=normalize_data, add_time=False, for_model="nn",
@@ -36,7 +43,8 @@ def train_gprnn_classifier(
     dtype = np.float32
 
     encoder = MaskedRNN(hidden_dim=num_hidden, cell_type=rnn_type,
-                        return_sequences=False)
+                        return_sequences=False, dropout=dropout,
+                        recurrent_dropout=recurrent_dropout)
     key = jax.random.PRNGKey(seed)
     enc_vars = encoder.init(key, jnp.asarray(X_train[:2], dtype))
     feats = np.asarray(

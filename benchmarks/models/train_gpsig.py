@@ -42,12 +42,18 @@ def train_gpsig_classifier(
     val_split=None, test_split=None, experiment_idx=None,
     use_tensors: bool = True, save_dir: str = "./GPSig/",
     epochs_cap: int | None = None, data_dir: str | None = None, seed: int = 0,
+    checkpoint_dir: str | None = None, resume: bool = False,
 ):
     """Train and evaluate one GPSig classifier; returns the results dict.
 
     ``epochs_cap`` optionally scales down the reference's very long phase
     budgets (patience = max(500 epochs, 5000 iters), `train_gpsig.py:112`)
     for smoke runs.
+
+    ``checkpoint_dir`` enables on-disk phase checkpoints (params + optimizer
+    moments + data-stream position); with ``resume=True`` a killed run
+    restarts from the last checkpoint of whatever phase it died in and
+    continues the exact same trajectory (SURVEY.md §5 checkpoint/resume).
     """
     print(f"==== GPSig on {dataset} ====")
     X_train, y_train, X_val, y_val, X_test, y_test = datasets.load_dataset(
@@ -97,16 +103,28 @@ def train_gpsig_classifier(
     Yd = jnp.asarray(y_train[:, None], dtype)
 
     batch = min(minibatch_size, num_train)
-    rng = np.random.RandomState(seed)
-    idx_stream = training.minibatch_indices(rng, num_train, batch)
+    stream = training.MinibatchStream(num_train, batch, seed_or_rng=seed)
 
     def data_iter():
-        while True:
-            idx = next(idx_stream)
-            yield Xd[idx], Yd[idx]
+        return training.BatchIterator(
+            stream, batch_fn=lambda idx: (Xd[idx], Yd[idx])
+        )
 
     def loss_fn(p, xb, yb):
         return model.loss(p, xb, yb)
+
+    def ckpt_kw(phase: int):
+        """Per-phase checkpoint/resume wiring for optimize()."""
+        if checkpoint_dir is None:
+            return {}
+        name_ = dataset if experiment_idx is None \
+            else f"{dataset}_{experiment_idx}"
+        path = os.path.join(checkpoint_dir, f"{name_}_phase{phase}.ckpt")
+        kw = {"checkpoint_path": path,
+              "checkpoint_extra": {"phase": np.asarray(phase)}}
+        if resume:
+            kw["resume_from"] = path
+        return kw
 
     val_scorer = None
     if X_val is not None:
@@ -135,6 +153,7 @@ def train_gpsig_classifier(
         trainable=lambda n: not n.startswith("kern"),
         val_scorer=val_scorer, save_best_params=X_val is not None,
         lower_is_better=True, save_freq=save_freq, print_freq=save_freq * 5,
+        **ckpt_kw(1),
     )
     params = hist["final_params"]
 
@@ -145,6 +164,7 @@ def train_gpsig_classifier(
         val_scorer=val_scorer, save_best_params=X_val is not None,
         lower_is_better=True, patience=patience, history=hist,
         save_freq=save_freq, print_freq=save_freq * 5,
+        **ckpt_kw(2),
     )
     params = training.restore_best(params, hist)
 
@@ -154,6 +174,7 @@ def train_gpsig_classifier(
         val_scorer=val_scorer, save_best_params=X_val is not None,
         lower_is_better=True, patience=patience, history=hist,
         save_freq=save_freq, print_freq=save_freq * 5,
+        **ckpt_kw(3),
     )
     params = training.restore_best(params, hist)
 
@@ -175,11 +196,13 @@ def train_gpsig_classifier(
                      num_data=num_train)
         Xd = jnp.asarray(X_all, dtype)
         Yd = jnp.asarray(y_all[:, None], dtype)
-        idx_stream = training.minibatch_indices(rng, num_train, batch)
+        stream = training.MinibatchStream(num_train, batch,
+                                          seed_or_rng=seed + 1)
         hist = training.optimize(
             loss_fn, params, opt, max_iter=patience, data_iter=data_iter(),
             trainable=lambda n: not n.startswith("kern"), history=hist,
             save_freq=save_freq, print_freq=save_freq * 5,
+            **ckpt_kw(4),
         )
         params = hist["final_params"]
 

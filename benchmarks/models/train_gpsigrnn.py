@@ -28,13 +28,21 @@ from gpsig_tpu.models import EncoderSVGP, MaskedRNN
 def train_gpsigrnn_classifier(
     dataset: str, *, num_levels: int = 4, num_inducing: int = 500,
     num_hidden: int = 32, rnn_type: str = "lstm", dropout: float = 0.0,
+    recurrent_dropout: float | None = None,
     normalize_data: bool = True, minibatch_size: int = 50,
     max_len: int = 400, increments: bool = True,
     val_split=None, test_split=None, experiment_idx=None,
     save_dir: str = "./GPSigRNN/", epochs_cap: int | None = None,
     data_dir: str | None = None, seed: int = 0,
 ):
-    print(f"==== GPSigRNN({rnn_type}, H={num_hidden}) on {dataset} ====")
+    # the reference couples the two rates behind one `use_dropout` flag
+    # (input 0.25 + recurrent 0.05, `train_gpsigrnn.py:54-56`); here
+    # `dropout` is the input rate and recurrent_dropout defaults to the
+    # reference's companion value whenever input dropout is on
+    if recurrent_dropout is None:
+        recurrent_dropout = 0.05 if dropout > 0.0 else 0.0
+    print(f"==== GPSigRNN({rnn_type}, H={num_hidden}, D={dropout}) "
+          f"on {dataset} ====")
     X_train, y_train, X_val, y_val, X_test, y_test = datasets.load_dataset(
         dataset, val_split=val_split, test_split=test_split,
         normalize_data=normalize_data, add_time=False, for_model="nn",
@@ -45,7 +53,8 @@ def train_gpsigrnn_classifier(
     dtype = np.float32
 
     encoder = MaskedRNN(hidden_dim=num_hidden, cell_type=rnn_type,
-                        return_sequences=True)
+                        return_sequences=True, dropout=dropout,
+                        recurrent_dropout=recurrent_dropout)
     key = jax.random.PRNGKey(seed)
     enc_vars = encoder.init(key, jnp.asarray(X_train[:2], dtype))
     feats = np.asarray(
@@ -94,13 +103,19 @@ def _run_phases(model, params, X_train, y_train, X_val, y_val, X_test,
     Yd = jnp.asarray(y_train[:, None], dtype)
     idx_stream = training.minibatch_indices(rng, num_train, batch)
 
+    # per-step PRNG for encoder dropout: a step counter is folded into a
+    # fixed base key inside the jitted loss (train mode); eval/metrics call
+    # the model without a key -> deterministic (Keras train/eval semantics)
+    base_key = jax.random.PRNGKey(seed + 17)
+    step_counter = iter(range(1, 1 << 31))
+
     def data_iter():
         while True:
             idx = next(idx_stream)
-            yield Xd[idx], Yd[idx]
+            yield Xd[idx], Yd[idx], jnp.uint32(next(step_counter))
 
-    def loss_fn(p, xb, yb):
-        return model.loss(p, xb, yb)
+    def loss_fn(p, xb, yb, step):
+        return model.loss(p, xb, yb, key=jax.random.fold_in(base_key, step))
 
     val_scorer = None
     if X_val is not None:

@@ -53,6 +53,7 @@ def main():
             train_gprnn_classifier(
                 name, rnn_type=args.rnn_type,
                 num_hidden=int(arch["num_hidden"]),
+                dropout=float(arch.get("dropout", 0.0)),
                 val_split=0.1, experiment_idx=r, save_dir=save_dir,
                 epochs_cap=args.epochs_cap, seed=r,
             )

@@ -20,6 +20,9 @@ with open(os.path.join(_HERE, "datasets.json")) as f:
     DATASETS = json.load(f)
 
 GRID_H = [8, 32, 128]
+# reference sweeps use_dropout in {False, True} (input 0.25 + recurrent
+# 0.05 when on, `run_gpsigrnn_gridsearch.py:29-34`)
+GRID_D = [0.0, 0.25]
 
 
 def main():
@@ -36,28 +39,34 @@ def main():
 
     for name in args.datasets:
         scores = {}
-        for H in GRID_H:
-            marker = os.path.join(save_dir, f"{name}_H{H}.json")
-            if os.path.exists(marker):
-                scores[H] = json.load(open(marker))["val_nlpp"]
-                continue
-            res = train_gpsigrnn_classifier(
-                name, rnn_type=args.rnn_type, num_hidden=H,
-                val_split=0.2, test_split=0.2,  # double hold-out
-                experiment_idx=f"H{H}", save_dir=save_dir,
-                epochs_cap=args.epochs_cap, seed=0,
-            )
-            scores[H] = res["val_nlpp"]
+        for D in GRID_D:
+            for H in GRID_H:
+                marker = os.path.join(
+                    save_dir, f"{name}_H{H}_D{int(D > 0)}.json"
+                )
+                if os.path.exists(marker):
+                    scores[(H, D)] = json.load(open(marker))["val_nlpp"]
+                    continue
+                res = train_gpsigrnn_classifier(
+                    name, rnn_type=args.rnn_type, num_hidden=H, dropout=D,
+                    val_split=0.2, test_split=0.2,  # double hold-out
+                    experiment_idx=f"H{H}_D{int(D > 0)}", save_dir=save_dir,
+                    epochs_cap=args.epochs_cap, seed=0,
+                )
+                scores[(H, D)] = res["val_nlpp"]
         # reference's selection rule (`process_gridsearch.ipynb` cell 7):
         # smallest architecture within 10% of the best validation nlpp
         best_nlpp = min(scores.values())
-        best_H = min(H for H, v in scores.items() if v <= 1.1 * best_nlpp)
+        best_H, best_D = min(
+            hd for hd, v in scores.items() if v <= 1.1 * best_nlpp
+        )
         arch.setdefault(name, {})[f"gpsig{args.rnn_type}"] = {
-            "num_hidden": best_H, "dropout": 0.0,
+            "num_hidden": best_H, "dropout": best_D,
         }
         with open(arch_path, "w") as f:
             json.dump(arch, f, indent=2)
-        print(f"{name}: best H={best_H} (val nlpp {scores[best_H]:.4f})")
+        print(f"{name}: best H={best_H} D={best_D} "
+              f"(val nlpp {scores[(best_H, best_D)]:.4f})")
 
 
 if __name__ == "__main__":

@@ -38,8 +38,11 @@ def restore(path: str, like: dict) -> dict:
         data = f.read()
     like_np = jax.tree.map(np.asarray, like)
     restored = serialization.from_bytes(like_np, data)
+    # cast on host first: requesting x64 dtypes from jnp under the f32
+    # regime warns; numpy cast + plain asarray downcasts quietly instead
     return jax.tree.map(
-        lambda r, l: jnp.asarray(r, dtype=np.asarray(l).dtype), restored, like
+        lambda r, l: jnp.asarray(np.asarray(r, dtype=np.asarray(l).dtype)),
+        restored, like,
     )
 
 

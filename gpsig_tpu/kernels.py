@@ -70,6 +70,16 @@ class SignatureKernel:
         projection options ('sqrt' | 'log' | 'lin'; 'exact' for testing).
       base: base-kernel name in ``gpsig_tpu.ops.base_kernels.BASE_KERNELS``.
       base_options: static options for the base kernel (e.g. poly degree, Q).
+      fused: dispatch control for the fused Pallas covariance kernels
+        ('auto' | 'on' | 'off').  'auto' uses them whenever supported
+        (TPU backend, f32 regime, rbf/linear base); 'off' always runs the
+        reference-shaped XLA graphs (the f64 validation path and the
+        baseline leg in ``bench.py``); 'on' requires a supported
+        configuration and raises at covariance time otherwise.
+      fast_math: MXU precision for the fused level-recursion matmuls:
+        'high' (default; one-sided bf16x3 splitting, ~f32 accuracy),
+        True/'bf16' (single-pass bf16 — fast but its ~0.4% rounding is
+        amplified by per-level normalization), False (full f32 / HIGHEST).
     """
 
     def __init__(self, num_features: int, num_levels: int, *, order: int = 1,
@@ -77,7 +87,8 @@ class SignatureKernel:
                  variances=1.0, lengthscales=1.0, num_lags: int | None = None,
                  low_rank: bool = False, num_components: int = 50,
                  rank_bound: int | None = None, sparsity: str = "sqrt",
-                 base: str = "rbf", base_options: dict | None = None):
+                 base: str = "rbf", base_options: dict | None = None,
+                 fused: str = "auto", fast_math="high"):
         self.num_features = int(num_features)
         self.num_levels = int(num_levels)
         self.order = (
@@ -94,7 +105,8 @@ class SignatureKernel:
                     "low-rank mode requires order == 1 "
                     "(matches reference `kernels.py:59-60`)"
                 )
-            if sparsity not in ("sqrt", "log", "lin", "exact"):
+            if sparsity not in ("sqrt", "log", "lin", "exact",
+                                "rademacher", "gauss"):
                 raise ValueError(f"unknown sparsity {sparsity!r}")
             if num_components is None or num_components <= 0:
                 raise ValueError("num_components must be a positive integer")
@@ -114,6 +126,11 @@ class SignatureKernel:
 
         self.base = base
         self.base_options = dict(base_options or {})
+
+        if fused not in ("auto", "on", "off"):
+            raise ValueError(f"fused must be 'auto'|'on'|'off', got {fused!r}")
+        self.fused = fused
+        self.fast_math = fast_math
 
         # initial constrained values (converted to raw in init_params)
         self._init_variances = np.broadcast_to(
@@ -220,7 +237,7 @@ class SignatureKernel:
 
             return sp.fused_first_order_levels(
                 X, X2, num_levels=self.num_levels, order=self.order,
-                base=self.base, fast_math="high",
+                base=self.base, fast_math=self.fast_math,
             )
         kern = self._base_kern(cp)
         N1, L1, d = X.shape
@@ -250,16 +267,34 @@ class SignatureKernel:
             M, self.num_levels, order=self.order, difference=self.difference
         )
 
-    def _fused_tens_ok(self):
-        """Dispatch the fused Pallas inducing-covariance kernels: TPU
-        backend, f32 regime, base kernel with a closed-form augmentation
-        (`ops/inducing_pallas.py`); anything else falls back to the XLA
-        reference path (which is also the f64 validation path)."""
+    def _fused_supported(self):
+        """Whether the fused Pallas covariance kernels apply to this
+        configuration: TPU backend, f32 regime, base kernel with a
+        closed-form increment algebra (`ops/inducing_pallas.py`)."""
         return (
             self.base in ("rbf", "linear")
             and not jax.config.jax_enable_x64
             and jax.default_backend() == "tpu"
         )
+
+    def _fused_tens_ok(self):
+        """Dispatch decision for the fused Pallas covariance kernels,
+        controlled by the public ``fused`` knob ('auto'|'on'|'off'):
+        unsupported configurations fall back to the XLA reference path
+        (which is also the f64 validation path), and ``fused='on'`` makes
+        an unsupported fallback an error instead of silent."""
+        if self.fused == "off":
+            return False
+        ok = self._fused_supported()
+        if self.fused == "on" and not ok:
+            raise ValueError(
+                "fused='on' but the fused Pallas kernels do not support "
+                f"this configuration (base={self.base!r}, "
+                f"x64={jax.config.jax_enable_x64}, "
+                f"backend={jax.default_backend()!r}); they require a "
+                "TPU backend, f32 regime, and an rbf/linear base"
+            )
+        return ok
 
     def _K_tens(self, cp: dict, Z, increments: bool):
         if self._fused_tens_ok():
@@ -288,6 +323,7 @@ class SignatureKernel:
             return ind_pallas.fused_tens_vs_seq_levels(
                 Z, X, num_levels=self.num_levels, base=self.base,
                 increments=increments, difference=self.difference,
+                fast_math=self.fast_math,
             )
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
@@ -440,8 +476,13 @@ class SignatureKernel:
           'xla'    — blocked lax.map evaluation with MXU cumsums
                      (``gpsig_tpu.ops.gram``); differentiable.
           'pallas' — fully fused VMEM-resident kernel
-                     (``gpsig_tpu.ops.signature_pallas``); fastest, forward
-                     only, order=1, base kernel must be 'rbf' or 'linear'.
+                     (``gpsig_tpu.ops.signature_pallas``); fastest,
+                     differentiable (custom-VJP backward kernel), covers
+                     all orders; base kernel must be 'rbf' or 'linear'
+                     (others fall back to 'xla').
+        fast_math: MXU mode for the recursion matmuls — False (HIGHEST),
+          'high' (bf16x3 splitting, ~f32 accuracy) or True (single-pass
+          bf16; see the class docstring for the accuracy caveat).
         """
         if self.low_rank:
             raise ValueError("use K() for the low-rank path")

@@ -40,12 +40,25 @@ class EncoderSVGP:
             "svgp": self.svgp.init_params(k_gp, dtype=dtype),
         }
 
-    def encode(self, params: dict, X):
+    def encode(self, params: dict, X, *, key=None):
+        """Encoder forward pass; a ``key`` enables dropout (training mode,
+        `train_gpsigrnn.py:54-60` semantics), None is deterministic (eval)."""
+        if key is not None:
+            return self.encoder.apply(
+                {"params": params["enc"]}, jnp.asarray(X),
+                deterministic=False, rngs={"dropout": key},
+            )
         return self.encoder.apply({"params": params["enc"]}, jnp.asarray(X))
 
     def elbo(self, params: dict, X, Y, *, key=None):
-        return self.svgp.elbo(params["svgp"], self.encode(params, X), Y,
-                              key=key)
+        """Joint ELBO; ``key`` (if given) drives encoder dropout and any
+        stochastic kernel features."""
+        if key is not None:
+            k_enc, key = jax.random.split(key)
+        else:
+            k_enc = None
+        return self.svgp.elbo(params["svgp"],
+                              self.encode(params, X, key=k_enc), Y, key=key)
 
     def loss(self, params: dict, X, Y, *, key=None):
         return -self.elbo(params, X, Y, key=key)

@@ -168,9 +168,46 @@ def _rbf_increment_diag(X, precision):
     )
 
 
+def _linear_increment_pair(Xa, Xb, precision):
+    """(N, La, d), (N, Lb, d) -> (N, La-1, Lb-1) per-example linear
+    increment Grams between two (possibly different-length) views of the
+    same example batch — the sequence-parallel building block where each
+    device holds only a time slab of one axis."""
+    dXa = Xa[:, 1:] - Xa[:, :-1]
+    dXb = Xb[:, 1:] - Xb[:, :-1]
+    return jnp.einsum("nsd,ntd->nst", dXa, dXb, precision=precision)
+
+
+def _rbf_increment_pair(Xa, Xb, precision):
+    """(N, La, d), (N, Lb, d) -> (N, La-1, Lb-1) per-example rbf increment
+    Grams (cancellation-free, same algebra as `_rbf_increment_cross`)."""
+    Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
+    Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
+    dna = -0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1)  # (N, La-1)
+    dnb = -0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1)  # (N, Lb-1)
+    na = -0.5 * jnp.sum(jnp.square(Xa0), axis=-1)
+    nb = -0.5 * jnp.sum(jnp.square(Xb0), axis=-1)
+    inner = jnp.einsum("nsd,ntd->nst", Xa0, Xb0, precision=precision)
+    A00 = inner + na[:, :, None] + nb[:, None, :]
+    d01 = (
+        jnp.einsum("nsd,ntd->nst", Xa0, dXb, precision=precision)
+        + dnb[:, None, :]
+    )
+    d10 = (
+        jnp.einsum("nsd,ntd->nst", dXa, Xb0, precision=precision)
+        + dna[:, :, None]
+    )
+    dxx = jnp.einsum("nsd,ntd->nst", dXa, dXb, precision=precision)
+    return exp_accurate(A00) * (
+        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
+        - _expm1_stable(d10)
+    )
+
+
 INCREMENT_GRAMS = {
-    "linear": (_linear_increment_cross, _linear_increment_diag),
-    "rbf": (_rbf_increment_cross, _rbf_increment_diag),
+    "linear": (_linear_increment_cross, _linear_increment_diag,
+               _linear_increment_pair),
+    "rbf": (_rbf_increment_cross, _rbf_increment_diag, _rbf_increment_pair),
 }
 
 
@@ -178,7 +215,15 @@ def increment_gram_fns(base: str):
     """(cross_fn, diag_fn) computing cancellation-free increment Grams for
     ``base``, or (None, None) when no closed form is implemented (callers
     fall back to naive second differencing — exact in f64)."""
-    return INCREMENT_GRAMS.get(base, (None, None))
+    fns = INCREMENT_GRAMS.get(base)
+    return (fns[0], fns[1]) if fns else (None, None)
+
+
+def increment_gram_pair_fn(base: str):
+    """Per-example two-view increment Gram ``f(Xa, Xb, precision) ->
+    (N, La-1, Lb-1)`` for ``base``, or None without a closed form."""
+    fns = INCREMENT_GRAMS.get(base)
+    return fns[2] if fns else None
 
 
 def level1_exact_cross(increment_fn, X, X2, precision):

@@ -136,6 +136,53 @@ def lr_hadamard_prod_sparse(key, A, B, num_components: int,
     return scale * C.reshape(*batch_shape, num_components)
 
 
+def lr_hadamard_prod_dense(key, A, B, num_components: int,
+                           distribution: str = "rademacher", *,
+                           chunk_rows: int = 1 << 15):
+    """Randomized Hadamard product via a DENSE JL projection with
+    Rademacher (+-1) or Gaussian N(0,1) entries — the reference's dense
+    sampler variants (`low_rank_calculations.py:92-103,129-149`).
+
+    Distribution-equivalent alternatives to the sparse default; the sparse
+    mode is cheaper to sample and identical in expectation, so these exist
+    for parity/ablation."""
+    k1, k2 = A.shape[-1], B.shape[-1]
+    D = k1 * k2
+    if distribution == "rademacher":
+        R = jnp.where(
+            jax.random.uniform(key, (D, num_components), dtype=A.dtype)
+            <= 0.5, 1.0, -1.0
+        ).astype(A.dtype)
+    elif distribution == "gauss":
+        R = jax.random.normal(key, (D, num_components), dtype=A.dtype)
+    else:
+        raise ValueError(f"Unknown distribution {distribution!r}")
+    scale = 1.0 / jnp.sqrt(jnp.asarray(float(num_components), A.dtype))
+
+    batch_shape = A.shape[:-1]
+    Af = A.reshape(-1, k1)
+    Bf = B.reshape(-1, k2)
+    n = Af.shape[0]
+
+    def project(a_rows, b_rows):
+        E = (a_rows[:, :, None] * b_rows[:, None, :]).reshape(-1, D)
+        return jnp.matmul(E, R, preferred_element_type=A.dtype)
+
+    if n <= chunk_rows:
+        C = project(Af, Bf)
+    else:
+        n_chunks = -(-n // chunk_rows)
+        pad = n_chunks * chunk_rows - n
+        Af = jnp.concatenate([Af, jnp.zeros((pad, k1), A.dtype)], axis=0)
+        Bf = jnp.concatenate([Bf, jnp.zeros((pad, k2), B.dtype)], axis=0)
+        C = jax.lax.map(
+            lambda ab: project(*ab),
+            (Af.reshape(n_chunks, chunk_rows, k1),
+             Bf.reshape(n_chunks, chunk_rows, k2)),
+        ).reshape(n_chunks * chunk_rows, num_components)[:n]
+    return scale * C.reshape(*batch_shape, num_components)
+
+
 def lr_hadamard_prod_subsample(key, A, B, num_components: int):
     """Randomized Hadamard product by index-pair subsampling + Rademacher
     signs (the 'lin' sparsity mode, `low_rank_calculations.py:104-127`)."""
@@ -153,11 +200,14 @@ def lr_hadamard_prod_subsample(key, A, B, num_components: int):
 
 def lr_hadamard_prod_rand(key, A, B, rank_bound: int, sparsity: str = "sqrt"):
     """Dispatcher matching `low_rank_calculations.py:76-90`; 'exact' added
-    for testing (no randomness, full k1*k2 features)."""
+    for testing (no randomness, full k1*k2 features); 'rademacher'/'gauss'
+    are the reference's dense sampler variants."""
     if sparsity == "exact":
         return lr_hadamard_prod(A, B)
     if sparsity == "lin":
         return lr_hadamard_prod_subsample(key, A, B, rank_bound)
+    if sparsity in ("rademacher", "gauss"):
+        return lr_hadamard_prod_dense(key, A, B, rank_bound, sparsity)
     return lr_hadamard_prod_sparse(key, A, B, rank_bound, sparsity)
 
 

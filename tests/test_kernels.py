@@ -296,3 +296,45 @@ class TestLowRank:
         )
         assert np.all(np.isfinite(np.asarray(Kzx)))
         assert Kzx.shape == (nT, N)
+
+
+class TestFusedDispatchControl:
+    """Public fused-dispatch knob (`fused='auto'|'on'|'off'`) replacing the
+    former _fused_tens_ok monkeypatch in bench.py."""
+
+    def test_ctor_validates_knob(self):
+        with pytest.raises(ValueError, match="fused"):
+            kernels.SignatureRBF(2, 3, fused="sometimes")
+
+    def test_off_never_dispatches_even_when_supported(self, monkeypatch):
+        k = kernels.SignatureRBF(2, 3, fused="off")
+        # fake a supported configuration (TPU backend, f32 regime)
+        monkeypatch.setattr(kernels.jax, "default_backend", lambda: "tpu")
+        jax.config.update("jax_enable_x64", False)
+        try:
+            assert k._fused_supported()
+            assert not k._fused_tens_ok()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    def test_auto_dispatches_only_when_supported(self, monkeypatch):
+        k = kernels.SignatureRBF(2, 3, fused="auto")
+        # tests run on CPU/f64: unsupported -> XLA path
+        assert not k._fused_tens_ok()
+        monkeypatch.setattr(kernels.jax, "default_backend", lambda: "tpu")
+        jax.config.update("jax_enable_x64", False)
+        try:
+            assert k._fused_tens_ok()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    def test_on_raises_when_unsupported(self):
+        k = kernels.SignatureRBF(2, 3, fused="on")
+        # CPU/f64 test regime does not support the fused kernels
+        with pytest.raises(ValueError, match="fused='on'"):
+            k._fused_tens_ok()
+
+    def test_fast_math_knob_stored_and_threaded(self):
+        k = kernels.SignatureRBF(2, 3, fast_math=False)
+        assert k.fast_math is False
+        assert kernels.SignatureRBF(2, 3).fast_math == "high"

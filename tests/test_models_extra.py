@@ -152,3 +152,88 @@ class TestHybrids:
         assert np.all(np.asarray(pv) >= 0)
         ld = model.predict_log_density(params, jnp.asarray(X), jnp.asarray(y[:, None]))
         assert np.all(np.isfinite(np.asarray(ld)))
+
+
+class TestRNNDropout:
+    """Keras-parity dropout in the RNN hybrids (VERDICT round-2 item 2:
+    `train_gpsigrnn.py:54-60` input 0.25 / recurrent 0.05)."""
+
+    def _enc(self, **kw):
+        return MaskedRNN(hidden_dim=4, cell_type="lstm",
+                         return_sequences=True, **kw)
+
+    def test_deterministic_ignores_dropout_config(self):
+        # eval mode: a dropout-carrying module == the dropout-free module
+        X = jnp.asarray(RNG.randn(3, 6, 2))
+        enc0 = self._enc()
+        encd = self._enc(dropout=0.5, recurrent_dropout=0.25)
+        v = enc0.init(jax.random.PRNGKey(0), X)
+        h0 = enc0.apply(v, X)
+        hd = encd.apply(v, X)  # deterministic=True default
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(hd), rtol=1e-7)
+
+    def test_training_mode_changes_outputs_per_key(self):
+        X = jnp.asarray(RNG.randn(5, 6, 2))
+        enc = self._enc(dropout=0.5, recurrent_dropout=0.25)
+        v = enc.init(jax.random.PRNGKey(0), X)
+        h0 = enc.apply(v, X)
+        h1 = enc.apply(v, X, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+        h2 = enc.apply(v, X, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+        h1b = enc.apply(v, X, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        assert not np.allclose(np.asarray(h0), np.asarray(h1))
+        assert not np.allclose(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h1b))
+
+    def test_zero_rates_are_noop_even_with_key(self):
+        X = jnp.asarray(RNG.randn(3, 6, 2))
+        enc = self._enc(dropout=0.0, recurrent_dropout=0.0)
+        v = enc.init(jax.random.PRNGKey(0), X)
+        h0 = enc.apply(v, X)
+        h1 = enc.apply(v, X, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1))
+
+    def test_masking_still_holds_under_dropout(self):
+        # zero-padded prefix steps must not affect the carried state, with
+        # the SAME dropout masks (per-sequence, constant over time)
+        X = RNG.randn(4, 8, 3)
+        Xpad = np.concatenate([np.zeros((4, 3, 3)), X], axis=1)
+        enc = MaskedRNN(hidden_dim=5, cell_type="lstm",
+                        return_sequences=False, dropout=0.4,
+                        recurrent_dropout=0.2)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(Xpad))
+        key = {"dropout": jax.random.PRNGKey(7)}
+        h_pad = enc.apply(v, jnp.asarray(Xpad), deterministic=False, rngs=key)
+        h = enc.apply(v, jnp.asarray(X), deterministic=False, rngs=key)
+        np.testing.assert_allclose(np.asarray(h_pad), np.asarray(h),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_hybrid_loss_stochastic_in_train_deterministic_in_eval(self):
+        N, L, d, H, M = 8, 6, 2, 4, 2
+        X = RNG.randn(N, L, d)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        enc = self._enc(dropout=0.3, recurrent_dropout=0.1)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(X))
+        feats = np.asarray(enc.apply(v, jnp.asarray(X)))
+        Z = gp_utils.suggest_initial_inducing_tensors(feats, M, 4, seed=0)
+        svgp = SVGP(kernels.SignatureRBF(H, M), InducingTensors(Z, M),
+                    likelihoods.Bernoulli(), num_latent=1, num_data=N)
+        model = EncoderSVGP(enc, svgp)
+        params = model.init_params(jax.random.PRNGKey(1), X[:2])
+        # at the zero-init variational posterior (q_mu=0, q_sqrt=I,
+        # whitened) the ELBO is provably encoding-independent — perturb
+        # q_mu so dropout noise actually reaches the loss
+        params["svgp"]["q_mu"] = jnp.asarray(
+            RNG.randn(*params["svgp"]["q_mu"].shape)
+        )
+        Xj, Yj = jnp.asarray(X), jnp.asarray(y[:, None])
+        l1 = float(model.loss(params, Xj, Yj, key=jax.random.PRNGKey(1)))
+        l2 = float(model.loss(params, Xj, Yj, key=jax.random.PRNGKey(2)))
+        assert l1 != l2  # dropout != 0 changes training losses
+        # eval (no key) is deterministic regardless of dropout config
+        e1 = float(model.loss(params, Xj, Yj))
+        e2 = float(model.loss(params, Xj, Yj))
+        assert e1 == e2

@@ -149,3 +149,206 @@ class TestSeqCrossSP:
                                    mesh_shape=(2, 4))
         shard_shapes = {s.data.shape for s in M_inc_s.addressable_shards}
         assert shard_shapes == {(2, 8, 2, 4)}
+
+
+def _max_intermediate_size(fn, *args):
+    """Largest intermediate array (elements) anywhere in fn's jaxpr,
+    including inside shard_map bodies (whose avals are LOCAL shapes) —
+    a static proof that no device materializes more than its Gram stripe."""
+    sizes = [0]
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "size"):
+                    sizes.append(int(aval.size))
+            for val in eqn.params.values():
+                for sub in _subjaxprs(val):
+                    walk(sub)
+
+    def _subjaxprs(val):
+        if hasattr(val, "jaxpr"):  # ClosedJaxpr
+            return [val.jaxpr]
+        if hasattr(val, "eqns"):  # Jaxpr
+            return [val]
+        if isinstance(val, (tuple, list)):
+            return [j for v in val for j in _subjaxprs(v)]
+        return []
+
+    walk(jax.make_jaxpr(fn)(*args).jaxpr)
+    return max(sizes)
+
+
+class TestSequencesInSP:
+    """Sequences-in sequence parallelism: each device builds its own
+    increment-Gram stripe from time-sharded sequences inside shard_map —
+    the global Gram is never materialized (VERDICT round-2 item 1)."""
+
+    def _rbf_gram(self, Xa, Xb=None):
+        from gpsig_tpu.ops import base_kernels
+        return base_kernels.rbf({}, jnp.asarray(Xa),
+                                None if Xb is None else jnp.asarray(Xb))
+
+    def test_diag_from_sequences_rbf(self):
+        M_lvls, N, L = 4, 5, 24  # 8 chunks of 3
+        X = jnp.asarray(RNG.randn(N, L, 3) / np.sqrt(L))
+        mesh = _seq_mesh()
+        pair_fn = seq_parallel.make_pair_increment_fn("rbf")
+        Xs = jax.device_put(X, NamedSharding(mesh, P(None, "seq", None)))
+        out = seq_parallel.seq_diag_levels_from_sequences(
+            mesh, Xs, M_lvls, pair_fn=pair_fn
+        )
+        ref = sig_ops.signature_kern_first_order(self._rbf_gram(X), M_lvls)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_diag_from_sequences_generic_base(self):
+        # matern32 has no closed-form increment algebra -> generic fallback
+        from gpsig_tpu.ops import base_kernels
+        M_lvls, N, L = 3, 4, 16
+        X = jnp.asarray(RNG.randn(N, L, 2) / np.sqrt(L))
+        mesh = _seq_mesh()
+        kern_fn = lambda A, B=None: base_kernels.matern32({}, A, B)
+        pair_fn = seq_parallel.make_pair_increment_fn("matern32", kern_fn)
+        Xs = jax.device_put(X, NamedSharding(mesh, P(None, "seq", None)))
+        out = seq_parallel.seq_diag_levels_from_sequences(
+            mesh, Xs, M_lvls, pair_fn=pair_fn
+        )
+        ref = sig_ops.signature_kern_first_order(kern_fn(X), M_lvls)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-8, atol=1e-12)
+
+    def test_cross_from_sequences(self):
+        from gpsig_tpu.ops import gram as gram_ops
+        import functools
+        from jax import lax
+        M_lvls, N1, N2, L1, L2 = 4, 4, 3, 16, 8  # (2, 4) time mesh
+        X = jnp.asarray(RNG.randn(N1, L1, 2) / np.sqrt(L1))
+        X2 = jnp.asarray(RNG.randn(N2, L2, 2) / np.sqrt(L2))
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, axis_names=("seq1", "seq2"))
+        cross_fn, _ = gram_ops.increment_gram_fns("rbf")
+        pair_cross = functools.partial(
+            cross_fn, precision=lax.Precision.HIGHEST
+        )
+        Xs = jax.device_put(X, NamedSharding(mesh, P(None, "seq1", None)))
+        X2s = jax.device_put(X2, NamedSharding(mesh, P(None, "seq2", None)))
+        out = seq_parallel.seq_cross_levels_from_sequences(
+            mesh, Xs, X2s, M_lvls, pair_cross_fn=pair_cross
+        )
+        flat = self._rbf_gram(
+            np.asarray(X).reshape(N1 * L1, 2), np.asarray(X2).reshape(N2 * L2, 2)
+        ).reshape(N1, L1, N2, L2)
+        ref = sig_ops.signature_kern_first_order(flat, M_lvls)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_kernel_K_sp_matches_K(self):
+        from gpsig_tpu import kernels
+        M_lvls, N1, N2, L1, L2, d = 3, 4, 3, 16, 8, 2
+        X = RNG.randn(N1, L1, d) / np.sqrt(L1)
+        X2 = RNG.randn(N2, L2, d) / np.sqrt(L2)
+        kern = kernels.SignatureRBF(d, M_lvls, lengthscales=[0.9, 1.3])
+        p = kern.init_params()
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, axis_names=("seq1", "seq2"))
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P(None, "seq1", None)))
+        # symmetric
+        K_sp = seq_parallel.kernel_K_sp(kern, p, mesh, Xs)
+        K_ref = kern.K(p, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(K_sp), np.asarray(K_ref),
+                                   rtol=1e-8, atol=1e-10)
+        # cross
+        X2s = jax.device_put(jnp.asarray(X2),
+                             NamedSharding(mesh, P(None, "seq2", None)))
+        K_sp2 = seq_parallel.kernel_K_sp(kern, p, mesh, Xs, X2s)
+        K_ref2 = kern.K(p, jnp.asarray(X), jnp.asarray(X2))
+        np.testing.assert_allclose(np.asarray(K_sp2), np.asarray(K_ref2),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_tens_covs_sp_matches_fused_call(self):
+        from gpsig_tpu import kernels, utils as gp_utils
+        M_lvls, N, L, d, nT = 3, 5, 24, 2, 4
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        Z = gp_utils.suggest_initial_inducing_tensors(
+            X, M_lvls, nT, increments=True, seed=0
+        )
+        kern = kernels.SignatureRBF(d, M_lvls)
+        p = kern.init_params()
+        mesh = _seq_mesh()
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P(None, "seq", None)))
+        Kzz, Kzx, Kxx = seq_parallel.kernel_tens_n_seq_covs_sp(
+            kern, p, mesh, jnp.asarray(Z), Xs, increments=True
+        )
+        Kzz_r, Kzx_r, Kxx_r = kern.K_tens_n_seq_covs(
+            p, jnp.asarray(Z), jnp.asarray(X), increments=True
+        )
+        np.testing.assert_allclose(np.asarray(Kzz), np.asarray(Kzz_r),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(Kzx), np.asarray(Kzx_r),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Kxx), np.asarray(Kxx_r),
+                                   rtol=1e-9)
+
+    def test_svgp_elbo_sp_matches_single_device(self):
+        from gpsig_tpu import SVGP, InducingTensors, kernels, likelihoods
+        from gpsig_tpu import utils as gp_utils
+        M_lvls, N, L, d, nT = 2, 8, 32, 2, 4
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        Z = gp_utils.suggest_initial_inducing_tensors(
+            X, M_lvls, nT, increments=True, seed=0
+        )
+        kern = kernels.SignatureRBF(d, M_lvls)
+        lik = likelihoods.Bernoulli()
+        mesh = _seq_mesh()
+        ind_sp = seq_parallel.SPInducingTensors(
+            Z, M_lvls, mesh, increments=True
+        )
+        ind_ref = InducingTensors(Z, M_lvls, increments=True)
+        m_sp = SVGP(kern, ind_sp, lik, num_latent=1, num_data=N)
+        m_ref = SVGP(kern, ind_ref, lik, num_latent=1, num_data=N)
+        params = m_ref.init_params()
+        params["q_mu"] = jnp.asarray(RNG.randn(*params["q_mu"].shape))
+        Y = jnp.asarray(y[:, None])
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P(None, "seq", None)))
+        e_sp = float(jax.jit(m_sp.elbo)(params, Xs, Y))
+        e_ref = float(m_ref.elbo(params, jnp.asarray(X), Y))
+        np.testing.assert_allclose(e_sp, e_ref, rtol=1e-8)
+        # gradients flow through the SP covariances identically
+        g_sp = jax.grad(lambda p: m_sp.elbo(p, Xs, Y))(params)
+        g_ref = jax.grad(lambda p: m_ref.elbo(p, jnp.asarray(X), Y))(params)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+
+    def test_no_device_holds_more_than_its_stripe(self):
+        """Static proof from the jaxpr: inside the shard_map body every
+        intermediate is stripe-sized — the (N, L, L) Gram never exists."""
+        M_lvls, N, L = 3, 4, 64  # 8 chunks of 8
+        mesh = _seq_mesh()
+        pair_fn = seq_parallel.make_pair_increment_fn("rbf")
+        X = jnp.asarray(RNG.randn(N, L, 2))
+        Xs = jax.device_put(X, NamedSharding(mesh, P(None, "seq", None)))
+
+        def fn(x):
+            return seq_parallel.seq_diag_levels_from_sequences(
+                mesh, x, M_lvls, pair_fn=pair_fn
+            )
+
+        max_size = _max_intermediate_size(fn, Xs)
+        full_gram = N * L * L
+        stripe = N * (L + 1) * (L // 8)
+        assert max_size < full_gram / 2, (max_size, full_gram)
+        # the largest thing anywhere is the per-device stripe itself
+        # (plus its zero-padded bridge column)
+        assert max_size <= 2 * stripe, (max_size, stripe)
+        # and the math still matches the single-device reference
+        out = fn(Xs)
+        ref = sig_ops.signature_kern_first_order(self._rbf_gram(X), M_lvls)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-11)

@@ -74,19 +74,92 @@ def test_q_diag_paths():
 def test_checkpointed_training(tmp_path):
     model, params, X, Y = _setup()
     path = str(tmp_path / "run.ckpt")
+    opt = optax.nadam(1e-2)
     hist = training.optimize(
-        lambda p, x, y: model.loss(p, x, y), params, optax.nadam(1e-2),
+        lambda p, x, y: model.loss(p, x, y), params, opt,
         max_iter=6, data_iter=iter(lambda: (X, Y), None),
         save_freq=3, print_freq=100, checkpoint_path=path,
+        checkpoint_extra={"phase": np.asarray(2)},
     )
     assert os.path.exists(path)
-    restored = checkpoint.restore(
-        path, {"params": params, "iter": np.asarray(0)}
-    )
+    mask = jax.tree.map(lambda _: True, params)
+    like = {
+        "params": params,
+        "opt_state": training.masked_optimizer(opt, mask).init(params),
+        "iter": np.asarray(0),
+        "extra": {"phase": np.asarray(0)},
+    }
+    restored = checkpoint.restore(path, like)
     assert int(restored["iter"]) == 6
+    assert int(restored["extra"]["phase"]) == 2
+    # optimizer moments are saved too (SURVEY §5: params + opt state + iter)
+    assert any(
+        np.any(np.asarray(leaf) != 0)
+        for leaf in jax.tree.leaves(restored["opt_state"])
+    )
     for a, b in zip(jax.tree.leaves(restored["params"]),
                     jax.tree.leaves(hist["final_params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_minibatch_stream_state_roundtrip():
+    s1 = training.MinibatchStream(17, 5, seed_or_rng=3)
+    for _ in range(4):  # advance into the second permutation
+        next(s1)
+    state = s1.state()
+    expected = [np.asarray(next(s1)) for _ in range(6)]
+    s2 = training.MinibatchStream(17, 5, seed_or_rng=999)  # wrong seed
+    s2.set_state(state)
+    got = [np.asarray(next(s2)) for _ in range(6)]
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """A killed run resumed from disk (fresh process simulation: new
+    optimizer instance, new data stream) continues with identical optimizer
+    moments and data order — the loss trajectory and final params match the
+    uninterrupted run exactly (VERDICT round-2 item 4)."""
+    model, params, X, Y = _setup(n=20)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    batch = 5
+
+    def make_iter(stream):
+        return training.BatchIterator(
+            stream, batch_fn=lambda idx: (jnp.asarray(Xn[idx]),
+                                          jnp.asarray(Yn[idx]))
+        )
+
+    def loss_fn(p, xb, yb):
+        return model.loss(p, xb, yb)
+
+    # uninterrupted run: 12 iters
+    hist_a = training.optimize(
+        loss_fn, params, optax.nadam(1e-2), max_iter=12,
+        data_iter=make_iter(training.MinibatchStream(20, batch, 7)),
+        save_freq=2, print_freq=100,
+    )
+
+    # interrupted run: dies after 6 iters (checkpoint every 2)
+    path = str(tmp_path / "crash.ckpt")
+    training.optimize(
+        loss_fn, params, optax.nadam(1e-2), max_iter=6,
+        data_iter=make_iter(training.MinibatchStream(20, batch, 7)),
+        save_freq=2, print_freq=100, checkpoint_path=path,
+    )
+    # ...fresh process: brand-new optimizer + stream, resume to iter 12
+    hist_b = training.optimize(
+        loss_fn, params, optax.nadam(1e-2), max_iter=12,
+        data_iter=make_iter(training.MinibatchStream(20, batch, 0)),
+        save_freq=2, print_freq=100, resume_from=path,
+    )
+
+    for a, b in zip(jax.tree.leaves(hist_a["final_params"]),
+                    jax.tree.leaves(hist_b["final_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # post-resume loss snapshots coincide with the uninterrupted ones
+    for it in (8, 10, 12):
+        assert hist_a[it]["loss"] == hist_b[it]["loss"]
 
 
 def test_nan_debug_toggle():
