@@ -129,12 +129,15 @@ def bench_svgp(quick: bool = False):
 
         p, s, losses = run(params, state)
         float(losses[0])
-        t0 = time.perf_counter()
-        p, s, losses = run(p, s)
-        lvals = np.asarray(losses)
-        t = (time.perf_counter() - t0) / reps
-        assert np.all(np.isfinite(lvals))
-        return t
+        # min-of-3: single measurements drift ±10% through the tunnel/queue
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p, s, losses = run(p, s)
+            lvals = np.asarray(losses)
+            best = min(best, (time.perf_counter() - t0) / reps)
+            assert np.all(np.isfinite(lvals))
+        return best
 
     t_fast = time_steps(model)
     t_ref = time_steps(model_ref)
@@ -149,6 +152,104 @@ def bench_svgp(quick: bool = False):
     }
 
 
+def bench_selftest():
+    """On-chip Pallas self-test (VERDICT round-2 item 6): run the COMPILED
+    fused kernels (Mosaic, not interpret mode) forward + backward — seq and
+    inducing variants, orders 1 and 2, both fast_math modes — against the
+    XLA reference path on the same chip and assert tolerances.
+
+    The pytest suite can only exercise these kernels with interpret=True on
+    CPU; this lane validates actual Mosaic compilation (layouts, VMEM
+    limits, precision modes).  Run under the verify workflow each round:
+    ``python bench.py --selftest``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gpsig_tpu import kernels, utils as gp_utils
+
+    assert jax.default_backend() == "tpu", "selftest must run on the chip"
+    rng = np.random.RandomState(0)
+    N, L, d, M = 24, 33, 3, 3
+    X = jnp.asarray((rng.randn(N, L, d) / np.sqrt(L)).astype(np.float32))
+    failures = []
+
+    def check(name, got, want, tol):
+        err = float(jnp.max(jnp.abs(got - want)))
+        status = "ok" if err <= tol else "FAIL"
+        print(f"  {name:58s} max|err| {err:9.2e} (tol {tol:.0e}) {status}")
+        if err > tol:
+            failures.append((name, err, tol))
+
+    for base in ("rbf", "linear"):
+        for order in (1, 2):
+            kf = kernels.SignatureKernel(d, M, base=base, order=order,
+                                         fused="on")
+            kx = kernels.SignatureKernel(d, M, base=base, order=order,
+                                         fused="off")
+            p = kf.init_params()
+            for fast_math in ("high", False):
+                kf.fast_math = fast_math
+                name = f"K {base} order={order} fast_math={fast_math}"
+                Kf = jax.jit(lambda x: kf.K(p, x))(X)
+                Kx = jax.jit(lambda x: kx.K(p, x))(X)
+                check(f"{name} fwd", Kf, Kx, 5e-3 if base == "rbf" else 5e-2)
+                gf = jax.jit(jax.grad(lambda x: jnp.sum(kf.K(p, x))))(X)
+                gx = jax.jit(jax.grad(lambda x: jnp.sum(kx.K(p, x))))(X)
+                scale = float(jnp.max(jnp.abs(gx))) + 1e-30
+                check(f"{name} bwd", gf / scale, gx / scale, 1e-2)
+
+    # unnormalized Kdiag: hits the blocked-MXU _K_seq_diag branch directly
+    # (under normalization the returned diag is a constant, so this is the
+    # only non-vacuous forward check of that leg)
+    for order in (1, 2):
+        kdf = kernels.SignatureRBF(d, M, order=order, normalization=False,
+                                   fused="on")
+        kdx = kernels.SignatureRBF(d, M, order=order, normalization=False,
+                                   fused="off")
+        p = kdf.init_params()
+        df = jax.jit(lambda x: kdf.Kdiag(p, x))(X)
+        dx = jax.jit(lambda x: kdx.Kdiag(p, x))(X)
+        check(f"Kdiag unnormalized order={order} fwd", df, dx, 5e-3)
+
+    # inducing covariances (fused Kzz/Kzx/Kxx vs the XLA graph), fwd + bwd
+    y = rng.randint(0, 3, N)
+    Z = jnp.asarray(gp_utils.suggest_initial_inducing_tensors(
+        np.asarray(X), M, 8, labels=y, increments=True, seed=0
+    ).astype(np.float32))
+    kf = kernels.SignatureRBF(d, M, fused="on")
+    kx = kernels.SignatureRBF(d, M, fused="off")
+    p = kf.init_params()
+
+    def covs(kern, z, x):
+        Kzz, Kzx, Kxx = kern.K_tens_n_seq_covs(p, z, x, increments=True)
+        return Kzz, Kzx, Kxx
+
+    Kzzf, Kzxf, Kxxf = jax.jit(lambda z, x: covs(kf, z, x))(Z, X)
+    Kzzx, Kzxx, Kxxx = jax.jit(lambda z, x: covs(kx, z, x))(Z, X)
+    check("inducing Kzz fwd", Kzzf, Kzzx, 5e-3)
+    check("inducing Kzx fwd", Kzxf, Kzxx, 5e-3)
+    check("inducing Kxx-diag fwd", Kxxf, Kxxx, 5e-3)
+
+    def loss(kern, z, x):
+        Kzz, Kzx, Kxx = covs(kern, z, x)
+        return jnp.sum(Kzz) + jnp.sum(Kzx) + jnp.sum(Kxx)
+
+    gzf, gxf = jax.jit(jax.grad(lambda z, x: loss(kf, z, x),
+                                argnums=(0, 1)))(Z, X)
+    gzx, gxx = jax.jit(jax.grad(lambda z, x: loss(kx, z, x),
+                                argnums=(0, 1)))(Z, X)
+    sz = float(jnp.max(jnp.abs(gzx))) + 1e-30
+    sx = float(jnp.max(jnp.abs(gxx))) + 1e-30
+    check("inducing d/dZ bwd", gzf / sz, gzx / sz, 1e-2)
+    check("inducing d/dX bwd", gxf / sx, gxx / sx, 1e-2)
+
+    if failures:
+        print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")
+        raise SystemExit(1)
+    print("SELFTEST PASSED (all fused-vs-XLA checks within tolerance)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -157,8 +258,15 @@ def main():
     ap.add_argument("--svgp", action="store_true",
                     help="report SVGP ELBO steps/sec instead of the Gram "
                          "headline (no measurable reference baseline)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="on-chip fused-kernel self-test (fwd+bwd, all "
+                         "orders/modes, vs the XLA path); exits nonzero on "
+                         "tolerance failure")
     args = ap.parse_args()
 
+    if args.selftest:
+        bench_selftest()
+        return
     if args.svgp:
         print(json.dumps(bench_svgp(args.quick)))
         return

@@ -257,7 +257,37 @@ class SignatureKernel:
         )
 
     def _K_seq_diag(self, cp: dict, X):
-        """(M+1, N) unnormalized per-level diagonals."""
+        """(M+1, N) unnormalized per-level diagonals.
+
+        On the TPU f32 fused path this leg was the largest non-fused piece
+        of the SVGP step (2.6 of 10.4 ms, 25%, round-3 ablation profile):
+        the reference-shaped graph builds the (N, L, L) Gram, second-
+        differences it (catastrophic cancellation in f32), and runs the
+        cumsum-ladder recursion (HBM-bound).  Route it through the blocked
+        MXU path instead — cancellation-free closed-form increment Grams,
+        triangular-matmul cumsums, exact telescoped level 1."""
+        if self.difference and self._fused_tens_ok():
+            from .ops import gram as gram_ops
+
+            _, inc_diag = gram_ops.increment_gram_fns(self.base)
+            if inc_diag is not None:
+                # single straight-line block (no lax.map/dynamic-slice —
+                # those blow up compile time inside unrolled grad graphs)
+                precision = jax.lax.Precision.HIGHEST
+                G = inc_diag(X, precision)  # (N, L-1, L-1), pre-differenced
+                if self.order == 1:
+                    lvls = gram_ops.first_order_levels_batched(
+                        G, self.num_levels, difference=False,
+                        precision=precision,
+                    )
+                else:
+                    lvls = gram_ops.higher_order_levels_batched(
+                        G, self.num_levels, self.order, difference=False,
+                        precision=precision,
+                    )
+                return lvls.at[1].set(
+                    gram_ops.level1_exact_diag(inc_diag, X, precision)
+                )
         M = self._base_kern(cp)(X)  # (N, L, L) batched Gram
         if self.order == 1:
             return sig_ops.signature_kern_first_order(
