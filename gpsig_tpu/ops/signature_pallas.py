@@ -9,13 +9,15 @@ Forward, for each grid cell (i, j) — a (BI x BJ) block of example pairs:
   loop a over the BI row examples:
     1. increment Gram M_full (L, BJ*L) via a cancellation-free formulation
        (below), one VPU pass over all BJ column examples;
-    2. per column example b (static unroll), the level recursion runs on a
-       2-D (L, L) tile: R <- M * (A_lower @ R @ A_upper).  Both exclusive
-       cumsums are plain 2-D triangular-ones matmuls on the MXU — the tile
-       never changes rank, so Mosaic never relayouts it (the round-1 kernel
-       alternated a 2-D view for the xa-cumsum with a rank-3 view for the
-       xb-cumsum; the (8,128) register retiling between the two views cost
-       more than the matmuls themselves);
+    2. the level recursion runs ROW-WIDE on the full 2-D (L, BJ*L) tile:
+       R <- M * (A_lower @ R @ A_seg), where the lane-axis cumsum's chunked
+       carry resets at example boundaries (`_make_cumsums(seg=L)`), so one
+       full-width MXU sweep per level covers all BJ independent pairs.
+       Both exclusive cumsums are plain 2-D triangular-ones matmuls — the
+       tile never changes rank, so Mosaic never relayouts it, and the wide
+       (128, BJ*L) matmuls keep the MXU streaming (the round-2 kernel ran
+       BJ separate (L, L) recursions: same FLOPs at ~38% MXU efficiency,
+       plus a per-pair unroll of small ops);
     3. the per-level tile sums (M+1, BJ) are placed at lane offset j*BJ of a
        full-width output row block via a tiny expansion matmul (TPU vector
        stores can't hit unaligned lane offsets; a matmul can) and
@@ -60,6 +62,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gram import exp_accurate
+
+# unroll factor of the per-row-example loop inside the kernels (see
+# _kernel_fwd).  Measured on-chip (v5e, round 3): unrolling independent
+# row recursions does NOT help (rolled 1.711s, x2 1.803s, x4 1.721s at the
+# headline scale) — the hardware/scheduler doesn't overlap one row's VPU
+# work with another's MXU matmuls here — and full unroll (x8) faults the
+# TPU worker (instruction-memory blowup).  Kept at 1.
+_UNROLL_ROWS = 1
 
 
 def _expm1(x):
@@ -110,7 +120,7 @@ def _chunks(n, c=128):
     return out
 
 
-def _make_cumsums(precision):
+def _make_cumsums(precision, seg=None):
     """(cum_rows, cum_lanes): exclusive cumulative sums over the sublane /
     lane axis of a 2-D tile, evaluated as *chunked* triangular-ones matmuls.
 
@@ -123,6 +133,13 @@ def _make_cumsums(precision):
     precision: lax.Precision (both operands at that precision) or 'split3'
     (one-sided bf16x3: the ones-triangle is exact in bf16, the data operand
     is split into three bf16 pieces -> ~f32 accuracy in 3 passes).
+
+    seg: optional lane-segment width for cum_lanes.  The carry resets at
+    every multiple of ``seg`` (which must be a multiple of the 128 chunk),
+    so one full-width (Ls, BJ*seg) tile runs BJ *independent* per-example
+    cumsums in a single sweep — this is what lets the kernels process a
+    whole row block's column examples per MXU pass instead of one (Ls, L)
+    tile per pair (row-wide recursion).
 
     ``reverse=True`` computes the adjoint (reversed exclusive cumsum), i.e.
     multiplication by the transposed triangle.
@@ -168,7 +185,8 @@ def _make_cumsums(precision):
         return jnp.concatenate([outs[lo] for lo, _ in _chunks(n)], axis=0)
 
     def cum_lanes(S, reverse=False):
-        """out[:, t] = sum_{t' < t} S[:, t'] (reverse: t' > t)."""
+        """out[:, t] = sum_{t' < t} S[:, t'] (reverse: t' > t), per
+        ``seg``-wide lane segment when seg is set."""
         n, w = S.shape
         chunks = _chunks(w)
         if reverse:
@@ -176,6 +194,10 @@ def _make_cumsums(precision):
         carry = jnp.zeros((n, 1), f32)
         outs = {}
         for lo, c in chunks:
+            if seg is not None and (
+                (lo + c) % seg == 0 if reverse else lo % seg == 0
+            ):
+                carry = jnp.zeros((n, 1), f32)
             Sc = S[:, lo:lo + c]
             outs[lo] = dot_r(Sc, tri(c, upper=not reverse)) + carry
             carry = carry + jnp.sum(Sc, axis=1, keepdims=True)
@@ -204,20 +226,26 @@ def _increment_gram_row(xa, dxa, xj, dxj, base, difference, tail_mask, hdot):
     )
 
 
-def _pair_levels_fwd(M, num_levels, order, cum_rows, cum_lanes):
-    """Per-pair level sums [(1,1) scalars for levels 1..M] on a 2-D tile.
+def _pair_levels_fwd(M, num_levels, order, cum_rows, cum_lanes, seg_sum):
+    """Level sums for levels 1..M on a row-wide 2-D tile.
+
+    M is the (Ls, BJ*L) increment Gram of one row example against ALL BJ
+    column examples; cum_lanes is segment-aware (seg=L), so every level of
+    the recursion runs as ONE full-width MXU sweep covering the BJ
+    independent pairs.  ``seg_sum`` reduces a tile to its per-example
+    (1, BJ) level sums (column-sum + segment-indicator matmul).
 
     order == 1: R <- M * cumsum_excl_s(cumsum_excl_t(R)).
     order > 1: the (order x order) grid of partial tensors with 1/j, 1/k
     scalings (`signature_algs.py:60-72`), all tiles kept 2-D so both
     cumsums stay relayout-free matmuls.
     """
-    sums = [jnp.full((1, 1), jnp.sum(M), jnp.float32)]
+    sums = [seg_sum(M)]
     if order == 1:
         R = M
         for _ in range(2, num_levels + 1):
             R = M * cum_lanes(cum_rows(R))
-            sums.append(jnp.full((1, 1), jnp.sum(R), jnp.float32))
+            sums.append(seg_sum(R))
         return sums
     R = {(0, 0): M}
     for i in range(2, num_levels + 1):
@@ -235,9 +263,7 @@ def _pair_levels_fwd(M, num_levels, order, cum_rows, cum_lanes):
                     (1.0 / (j * k2)) * M * R[(j - 2, k2 - 2)]
                 )
         R = Rn
-        sums.append(
-            jnp.full((1, 1), jnp.sum(sum(R.values())), jnp.float32)
-        )
+        sums.append(seg_sum(sum(R.values())))
     return sums
 
 
@@ -263,13 +289,19 @@ def _pair_forward_to(M, upto, order, cum_rows, cum_lanes):
 
 
 def _pair_levels_bwd(M, gb, num_levels, order, cum_rows, cum_lanes):
-    """Per-pair Mbar from level-sum cotangents gb[m] (scalars), any order.
+    """Row-wide Mbar from level-sum cotangents gb[m] — (1, BJ*L) rows with
+    each example's scalar cotangent broadcast across its lane segment — for
+    any order.
 
     order == 1 mirrors the first-order reverse sweep; order > 1 runs the
     grid recursion's adjoint with per-level forward recompute (the tile
     grids are too large to stash across the whole sweep)."""
     f32 = jnp.float32
     shape = M.shape
+
+    def bcast(g):
+        return jnp.broadcast_to(g, shape)
+
     if order == 1:
         Cs = []
         R = M
@@ -277,7 +309,7 @@ def _pair_levels_bwd(M, gb, num_levels, order, cum_rows, cum_lanes):
             C = cum_lanes(cum_rows(R))
             Cs.append(C)
             R = M * C
-        Rbar = jnp.full(shape, gb[num_levels], f32)
+        Rbar = bcast(gb[num_levels])
         Mbar = jnp.zeros(shape, f32)
         for m in range(num_levels - 1, 0, -1):
             Mbar = Mbar + Cs[m - 1] * Rbar
@@ -288,12 +320,12 @@ def _pair_levels_bwd(M, gb, num_levels, order, cum_rows, cum_lanes):
 
     Mbar = jnp.zeros(shape, f32)
     # cotangent grid for the CURRENT level i (initialized at i = M)
-    Rbar = {key: jnp.full(shape, gb[num_levels], f32)
+    Rbar = {key: bcast(gb[num_levels])
             for key in _grid_keys(num_levels, order)}
     for i in range(num_levels, 1, -1):
         d = min(i, order)
         Rprev = _pair_forward_to(M, i - 1, order, cum_rows, cum_lanes)
-        Rbar_prev = {key: jnp.full(shape, gb[i - 1], f32)
+        Rbar_prev = {key: bcast(gb[i - 1])
                      for key in _grid_keys(i - 1, order)}
         # Rn[(0,0)] = M * cum_lanes(cum_rows(sum Rprev))
         C00 = cum_lanes(cum_rows(sum(Rprev.values())))
@@ -381,7 +413,24 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
             precision=lax.Precision.HIGHEST,
         )
 
-    cum_rows, cum_lanes = _make_cumsums(precision)
+    # segment-aware cumsums (seg=L): the lane-axis cumsum resets at example
+    # boundaries, so the whole (Ls, BJ*L) row tile runs the recursion for
+    # all BJ column examples in ONE full-width MXU sweep per level — wide
+    # matmuls instead of BJ narrow (Ls, L) ones, and no per-pair unroll
+    cum_rows, cum_lanes = _make_cumsums(precision, seg=L)
+
+    # per-example level-sum reduction: column-sum then a (BJL, BJ)
+    # segment-indicator matmul
+    srow = lax.broadcasted_iota(jnp.int32, (BJL, BJ), 0)
+    scol = lax.broadcasted_iota(jnp.int32, (BJL, BJ), 1)
+    seg_ind = (srow // L == scol).astype(f32)
+
+    def seg_sum(R):
+        v = jnp.sum(R, axis=0, keepdims=True)  # (1, BJL)
+        return lax.dot_general(
+            v, seg_ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+        )  # (1, BJ)
 
     def body():
         xj = xj_ref[:]  # (d, BJL)
@@ -395,18 +444,10 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
                 xa, dxa, xj, dxj, base, difference, tail_mask, hdot
             )  # (Ls, BJL)
 
-            # per-column-example 2-D recursion: both exclusive cumsums stay
-            # plain 2-D MXU matmuls (no rank change -> no Mosaic relayout);
-            # BJ is a static unroll so slices are compile-time lane offsets
-            # (multiples of L >= 128: tile-aligned)
-            cols = []
-            for b in range(BJ):
-                M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
-                sums = [jnp.full((1, 1), 1.0, f32)] + _pair_levels_fwd(
-                    M, num_levels, order, cum_rows, cum_lanes
-                )
-                cols.append(jnp.concatenate(sums, axis=0))  # (M+1, 1)
-            levels2d = jnp.concatenate(cols, axis=1)  # (M+1, BJ)
+            sums = [jnp.ones((1, BJ), f32)] + _pair_levels_fwd(
+                M_full, num_levels, order, cum_rows, cum_lanes, seg_sum
+            )
+            levels2d = jnp.concatenate(sums, axis=0)  # (M+1, BJ)
 
             placed = lax.dot_general(
                 levels2d, expand, (((1,), (0,)), ((), ())),
@@ -417,7 +458,19 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
             out_ref[:, a, :] = jnp.where(first, placed, prev + placed)
             return carry
 
-        lax.fori_loop(0, BI, pair_row, None)
+        # partial unroll: the per-row recursions are independent DAGs, so
+        # interleaving k of them per loop iteration lets the VLIW scheduler
+        # overlap one row's VPU work (increment Gram, split3 conversions,
+        # multiplies) with another row's MXU matmuls — each chain alone is
+        # serial and stalls whichever unit the current op doesn't use
+        k = _UNROLL_ROWS if BI % _UNROLL_ROWS == 0 else 1
+
+        def row_group(g, carry):
+            for u in range(k):
+                pair_row(g * k + u, None)
+            return carry
+
+        lax.fori_loop(0, BI // k, row_group, None)
 
     if symmetric:
         # upper-triangular cells only (requires BI == BJ); the public
@@ -688,7 +741,9 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
             precision=lax.Precision.HIGHEST,
         )
 
-    cum_rows, cum_lanes = _make_cumsums(precision)
+    # segment-aware cumsums: see _kernel_fwd — one full-width sweep covers
+    # all BJ column examples per level of the adjoint recursion
+    cum_rows, cum_lanes = _make_cumsums(precision, seg=L)
 
     def mm_hi(a, b):
         return lax.dot_general(
@@ -701,6 +756,12 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
     srow = lax.broadcasted_iota(jnp.int32, (W, BJ), 0)
     scol = lax.broadcasted_iota(jnp.int32, (W, BJ), 1)
     select = (srow == scol + j * BJ).astype(f32)
+
+    # lane expansion: (M+1, BJ) cell cotangents -> (M+1, BJL) with each
+    # example's scalar broadcast across its L-lane segment
+    erow = lax.broadcasted_iota(jnp.int32, (BJ, BJL), 0)
+    ecol = lax.broadcasted_iota(jnp.int32, (BJ, BJL), 1)
+    seg_expand = (ecol // L == erow).astype(f32)
 
     def body():
         xj = xj_ref[:]
@@ -734,15 +795,14 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
                 ct_ref[:, a, :], select, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=lax.Precision.HIGHEST,
             )  # (M+1, BJ) level cotangents: this row vs cell columns
-
-            Mbar_cols = []
-            for b in range(BJ):
-                M = M_full[:, b * L:(b + 1) * L]  # (Ls, L)
-                gb = [g[m, b] for m in range(num_levels + 1)]
-                Mbar_cols.append(_pair_levels_bwd(
-                    M, gb, num_levels, order, cum_rows, cum_lanes
-                ))
-            Mbar_full = jnp.concatenate(Mbar_cols, axis=1)  # (Ls, BJL)
+            g_lanes = lax.dot_general(
+                g, seg_expand, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+            )  # (M+1, BJL): per-example cotangents segment-broadcast
+            gb = [g_lanes[m:m + 1, :] for m in range(num_levels + 1)]
+            Mbar_full = _pair_levels_bwd(
+                M_full, gb, num_levels, order, cum_rows, cum_lanes
+            )  # (Ls, BJL)
 
             # pull Mbar back through the increment algebra into flat inputs.
             # Each dot term T = lhs^T rhs (hdot) with weight W_T gives
