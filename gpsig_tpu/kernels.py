@@ -235,10 +235,15 @@ class SignatureKernel:
         if self.difference and self._fused_tens_ok():
             from .ops import signature_pallas as sp
 
-            return sp.fused_first_order_levels(
-                X, X2, num_levels=self.num_levels, order=self.order,
-                base=self.base, fast_math=self.fast_math,
-            )
+            L_max = max(X.shape[1], X2.shape[1] if X2 is not None else 0)
+            if sp.fused_len_ok(L_max, self.order):
+                return sp.fused_first_order_levels(
+                    X, X2, num_levels=self.num_levels, order=self.order,
+                    base=self.base, fast_math=self.fast_math,
+                )
+            # VMEM working set exceeds the chip at this L even at the
+            # smallest block: reference-shaped XLA graph below (or use
+            # K_blocked / the sequence-parallel path for long L)
         kern = self._base_kern(cp)
         N1, L1, d = X.shape
         if X2 is None:

@@ -579,6 +579,16 @@ def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
     )(Xf, dXf, X2f, dX2f)
 
 
+def fused_len_ok(L: int, order: int = 1) -> bool:
+    """Whether the fused kernel's VMEM working set fits at this sequence
+    length even at block_j=1 (see the guard in fused_first_order_levels).
+    Dispatch sites use this to fall back to the XLA path instead of
+    OOM-ing Mosaic's stack allocator."""
+    L_pad = max(128, -(-L // 128) * 128)
+    live = (6 + 2 * max(1, order * order)) * (2 if order > 1 else 1)
+    return live * L_pad * L_pad * 4 <= 90 * 1024 * 1024
+
+
 def fused_first_order_levels(X, X2=None, *, num_levels: int,
                              order: int = 1, base: str = "rbf",
                              difference: bool = True,
@@ -606,8 +616,31 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     N2 = X2.shape[0]
     L_pad = max(128, -(-L // 128) * 128)
     BI, BJ = block_i, block_j
+    # VMEM guard: the kernels keep ~LIVE concurrent (L, BJ*L_pad) f32 tiles
+    # (increment Gram, recursion state, cum intermediates, split pieces;
+    # the higher-order grid multiplies the recursion state by order^2).
+    # Shrink the column block until the working set fits the 100 MB scoped
+    # limit — without this, L >~ 400 at the default blocks OOMs Mosaic's
+    # stack allocator instead of falling back.
+    live = (6 + 2 * max(1, order * order)) * (2 if order > 1 else 1)
+    budget = 90 * 1024 * 1024
+    while BJ > 1 and live * L_pad * (BJ * L_pad) * 4 > budget:
+        BJ //= 2
+    if live * L_pad * (BJ * L_pad) * 4 > budget:
+        raise ValueError(
+            f"sequence length {L} too long for the fused kernel's VMEM "
+            "working set even at block_j=1; use K_blocked(method='xla') "
+            "or the sequence-parallel path for long L"
+        )
+    # the output block's sublane dim is BI: Mosaic requires a multiple of 8
+    BI = max(8, (BI // 8) * 8)
     if symmetric:
-        BJ = BI  # upper-triangular cell skipping needs square cells
+        if BJ >= 8:
+            BI = BJ = min(BI, BJ)  # upper-tri cell skip needs square cells
+        else:
+            # VMEM forced BJ below the sublane granule: compute the full
+            # grid (no triangular skip) with a legal BI instead
+            symmetric = False
 
     nb1 = -(-N1 // BI)
     nb2 = -(-N2 // BJ)

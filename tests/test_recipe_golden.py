@@ -58,6 +58,23 @@ def _run(tmp_path, variant):
         return train_gpsig_classifier(
             "SyntheticLibras", num_levels=2, num_inducing=10,
             use_tensors=False, **common)
+    if variant == "gpsigrnn_lstm_dropout":
+        from benchmarks.models import train_gpsigrnn_classifier
+
+        write_mat(str(tmp_path / "SyntheticLibras.mat"), num_classes=3,
+                  per_class_train=8, per_class_test=4, length=16, seed=0)
+        return train_gpsigrnn_classifier(
+            "SyntheticLibras", num_levels=2, num_inducing=12, num_hidden=8,
+            rnn_type="lstm", dropout=0.25, increments=True,
+            **{k: v for k, v in common.items() if k != "num_lags"})
+    if variant == "gpkconv1d":
+        from benchmarks.models import train_gpkconv1d_classifier
+
+        write_mat(str(tmp_path / "SyntheticLibras.mat"), num_classes=3,
+                  per_class_train=8, per_class_test=4, length=16, seed=0)
+        return train_gpkconv1d_classifier(
+            "SyntheticLibras", num_inducing=12,
+            **{k: v for k, v in common.items() if k != "num_lags"})
     raise ValueError(variant)
 
 
@@ -65,6 +82,8 @@ def _run(tmp_path, variant):
     "multiclass_tensors",      # the canonical 4-phase MultiClass recipe
     "bernoulli_tensors",       # the C=2 Bernoulli likelihood path
     "multiclass_sequences",    # InducingSequences features
+    "gpsigrnn_lstm_dropout",   # RNN hybrid with the dropout path ON
+    "gpkconv1d",               # the 1-D conv-kernel baseline family
 ])
 def test_gpsig_recipe_matches_goldens(tmp_path, variant):
     golden = _golden()[variant]
