@@ -377,7 +377,7 @@ def _grid_keys(level, order):
 
 
 def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
-                BJ: int, L: int, L_true: int, d: int, num_levels: int,
+                BJ: int, L: int, L_true: int, L2_true: int, d: int, num_levels: int,
                 order: int, base: str, difference: bool, symmetric: bool,
                 precision):
     f32 = jnp.float32
@@ -403,7 +403,7 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
     else:
         cig = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 1) % L
         rix = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 0)
-        tail_mask = ((rix < L_true) & (cig < L_true)).astype(f32)
+        tail_mask = ((rix < L_true) & (cig < L2_true)).astype(f32)
 
     def hdot(xa2, xj2):
         """(d, Ls) x (d, BJL) -> (Ls, BJL), full-f32 (signal can be O(1/L)
@@ -541,14 +541,15 @@ def _prep_inputs(X, base: str, difference: bool, lhs: bool):
 
 
 def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
-              L_pad: int, L_true: int, num_levels: int, order: int,
+              L_pad: int, L_true: int, L2_true: int, num_levels: int, order: int,
               base: str, difference: bool, symmetric: bool, fast_math,
               interpret: bool):
     d_k = Xf.shape[0]
     W = max(128, -(-(nb2 * BJ) // 128) * 128)
 
     kernel = functools.partial(
-        _kernel_fwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true, d=d_k,
+        _kernel_fwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true, L2_true=L2_true,
+        d=d_k,
         num_levels=num_levels, order=order, base=base,
         difference=difference, symmetric=symmetric,
         precision=_recursion_precision(fast_math),
@@ -614,7 +615,9 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
         X2 = X
     N1, L, d = X.shape
     N2 = X2.shape[0]
-    L_pad = max(128, -(-L // 128) * 128)
+    # pad BOTH sides' time axes to a common 128-multiple (repeat-padding is
+    # signature-exact, so a longer X2 just zero-increments past its end)
+    L_pad = max(128, -(-max(L, X2.shape[1]) // 128) * 128)
     BI, BJ = block_i, block_j
     # VMEM guard: the kernels keep ~LIVE concurrent (L, BJ*L_pad) f32 tiles
     # (increment Gram, recursion state, cum intermediates, split pieces;
@@ -647,7 +650,7 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
 
     core = _make_fused_core(
         num_levels, order, base, difference, symmetric, nb1, nb2, BI, BJ,
-        L_pad, L, fast_math, interpret,
+        L_pad, L, X2.shape[1], fast_math, interpret,
     )
     out = core(X, X2)
     out = out[:, :N1, :N2]
@@ -682,7 +685,8 @@ def _prep_all(X, X2, base, difference, nb1, nb2, BI, BJ, L_pad):
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
-                     nb2, BI, BJ, L_pad, L_true, fast_math, interpret):
+                     nb2, BI, BJ, L_pad, L_true, L2_true, fast_math,
+                     interpret):
     """Custom-VJP core (per static config): (X, X2) -> padded level stack.
 
     X/X2 are the raw (N, L, d) sequences; padding and input prep happen
@@ -697,7 +701,8 @@ def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
         Xf, dXf, X2f, dX2f = prep(X, X2)
         out = _fwd_call(
             Xf, dXf, X2f, dX2f, nb1=nb1, nb2=nb2, BI=BI, BJ=BJ,
-            L_pad=L_pad, L_true=L_true, num_levels=num_levels, order=order,
+            L_pad=L_pad, L_true=L_true, L2_true=L2_true,
+            num_levels=num_levels, order=order,
             base=base, difference=difference, symmetric=symmetric,
             fast_math=fast_math, interpret=interpret,
         )
@@ -713,7 +718,7 @@ def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
         Xf, dXf, X2f, dX2f = flats
         gXf, gdXf, gX2f, gdX2f = _bwd_call(
             Xf, dXf, X2f, dX2f, ct.astype(jnp.float32), nb1=nb1, nb2=nb2,
-            BI=BI, BJ=BJ, L_pad=L_pad, L_true=L_true,
+            BI=BI, BJ=BJ, L_pad=L_pad, L_true=L_true, L2_true=L2_true,
             num_levels=num_levels, order=order, base=base,
             difference=difference, symmetric=symmetric,
             fast_math=fast_math, interpret=interpret,
@@ -729,6 +734,7 @@ def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
 
 def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
                 gxj_ref, gdxj_ref, *, BI: int, BJ: int, L: int, L_true: int,
+                L2_true: int,
                 num_levels: int, order: int, base: str, difference: bool,
                 symmetric: bool, precision):
     """Backward kernel for one (i, j) grid cell.
@@ -766,7 +772,7 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
     else:
         cig = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 1) % L
         rix = lax.broadcasted_iota(jnp.int32, (Ls, BJL), 0)
-        tail_mask = ((rix < L_true) & (cig < L_true)).astype(f32)
+        tail_mask = ((rix < L_true) & (cig < L2_true)).astype(f32)
 
     def hdot(xa2, xj2):
         return lax.dot_general(
@@ -917,14 +923,14 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
 
 
 def _bwd_call(Xf, dXf, X2f, dX2f, ct, *, nb1: int, nb2: int, BI: int,
-              BJ: int, L_pad: int, L_true: int, num_levels: int, order: int,
-              base: str, difference: bool, symmetric: bool, fast_math,
-              interpret: bool):
+              BJ: int, L_pad: int, L_true: int, L2_true: int, num_levels: int,
+              order: int, base: str, difference: bool, symmetric: bool,
+              fast_math, interpret: bool):
     """Pallas backward: grads w.r.t. the four flat (d, N*L) inputs."""
     d_k = Xf.shape[0]
 
     kernel = functools.partial(
-        _kernel_bwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true,
+        _kernel_bwd, BI=BI, BJ=BJ, L=L_pad, L_true=L_true, L2_true=L2_true,
         num_levels=num_levels, order=order, base=base,
         difference=difference, symmetric=symmetric,
         precision=_recursion_precision(fast_math),

@@ -39,6 +39,32 @@ def test_fused_matches_direct(base, difference):
     assert rel < 5e-5, rel
 
 
+@pytest.mark.parametrize("difference", [True, False])
+def test_fused_mismatched_lengths(difference):
+    """X2 longer than X's 128-padded length (regression: L_pad was derived
+    from X alone, crashing the time padding; the non-difference tail mask
+    also applied X's length to the column side)."""
+    N1, N2, L1, L2, d, M = 3, 2, 20, 150, 2, 3
+    X = (RNG.randn(N1, L1, d) / np.sqrt(L1)).astype(np.float32)
+    X2 = (RNG.randn(N2, L2, d) / np.sqrt(L2)).astype(np.float32)
+    kf = base_kernels.get("rbf")
+    G = kf({}, jnp.asarray(X.reshape(-1, d)),
+           jnp.asarray(X2.reshape(-1, d))).reshape(N1, L1, N2, L2)
+    ref = np.asarray(
+        sig_ops.signature_kern_first_order(G, M, difference=difference)
+    )
+    out = np.asarray(sp.fused_first_order_levels(
+        jnp.asarray(X), jnp.asarray(X2), num_levels=M, base="rbf",
+        difference=difference, block_i=4, block_j=2, interpret=True,
+    ))
+    # unnormalized non-difference level sums are huge while difference-mode
+    # levels can be tiny: compare per level at that level's scale with an
+    # absolute floor of f32 noise
+    for m in range(M + 1):
+        scale = max(1.0, np.abs(ref[m]).max())
+        assert np.abs(out[m] - ref[m]).max() < 5e-5 * scale
+
+
 def test_fused_symmetric_and_nonaligned_sizes():
     # N not multiples of blocks, L far from 128
     N, L, d, M = 9, 37, 2, 3
