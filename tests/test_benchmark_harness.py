@@ -7,7 +7,8 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+_HERE = os.path.dirname(__file__)
+sys.path.insert(0, os.path.join(_HERE, os.pardir))
 
 from gpsig_tpu import datasets
 
@@ -136,3 +137,58 @@ class TestTrainerRecipes:
             experiment_idx=0,
         )
         assert np.isfinite(res["test_nlpp"])
+
+
+class TestResultAggregation:
+    """Script equivalents of the reference's processing notebooks
+    (`process_benchmarks.ipynb` / `process_gridsearch.ipynb`), driven on
+    fake result files end-to-end."""
+
+    def test_process_benchmarks_tables(self, tmp_path, capsys):
+        import json
+        import sys
+
+        sys.path.insert(0, os.path.join(_HERE, os.pardir, "benchmarks"))
+        import process_benchmarks
+
+        for model, accs in (("GPSig", [0.9, 0.92]), ("GPLSTM", [0.8, 0.82])):
+            d = tmp_path / model
+            d.mkdir()
+            for i, a in enumerate(accs):
+                (d / f"DSetA_{i}.json").write_text(
+                    json.dumps({"test_acc": a, "test_nlpp": 1.0 - a}))
+        argv = sys.argv
+        sys.argv = ["process_benchmarks.py", str(tmp_path / "GPSig"),
+                    str(tmp_path / "GPLSTM")]
+        try:
+            process_benchmarks.main()
+        finally:
+            sys.argv = argv
+        out = capsys.readouterr().out
+        assert "DSetA" in out and "0.910" in out  # GPSig mean acc
+        # GPSig (higher acc) must out-rank GPLSTM
+        assert out.index("GPSig") < out.index("GPLSTM")
+
+    def test_process_gridsearch_selection_rule(self, tmp_path, capsys):
+        import json
+        import sys
+
+        sys.path.insert(0, os.path.join(_HERE, os.pardir, "benchmarks"))
+        import process_gridsearch
+
+        d = tmp_path / "gridsearch_GPSigLSTM"
+        d.mkdir()
+        # H=8 within 10% of best (H=128): the smaller architecture wins
+        scores = {(8, 0): 1.05, (32, 0): 1.2, (128, 0): 1.0}
+        for (h, dd), v in scores.items():
+            (d / f"DSetA_H{h}_D{dd}.json").write_text(
+                json.dumps({"val_nlpp": v, "val_acc": 0.9}))
+        argv = sys.argv
+        sys.argv = ["process_gridsearch.py", str(d)]
+        try:
+            process_gridsearch.main()
+        finally:
+            sys.argv = argv
+        out = capsys.readouterr().out
+        assert "H=8 D=0: selected for 1 dataset(s)" in out
+        assert "1.050*" in out  # the star marks the 10%-rule pick
