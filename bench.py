@@ -244,6 +244,27 @@ def bench_selftest():
     check("inducing d/dZ bwd", gzf / sz, gzx / sz, 1e-2)
     check("inducing d/dX bwd", gxf / sx, gxx / sx, 1e-2)
 
+    # long-L lane: the VMEM-aware block shrink must compile and run where
+    # the default blocks would OOM Mosaic's scoped allocator (regression:
+    # round 3 found L=512 crashed at the default blocks and L=640's shrunk
+    # BI violated the sublane granule).  No XLA comparison here — at this L
+    # the reference-shaped f32 graph is the *less* accurate side (~1e-2 vs
+    # the fused path's ~2e-4 against an f64 oracle) — so assert finiteness,
+    # symmetry, and agreement between the two fused precision modes.
+    kL = kernels.SignatureRBF(d, M, fused="on")
+    pL = kL.init_params()
+    XL = jnp.asarray(
+        (rng.randn(12, 640, d) / np.sqrt(640.0)).astype(np.float32)
+    )
+    KL = jax.jit(lambda x: kL.K(pL, x))(XL)
+    check("long-L (640) K symmetry", KL, KL.T, 5e-4)
+    if not bool(jnp.all(jnp.isfinite(KL))):
+        failures.append(("long-L finiteness", float("nan"), 0.0))
+        print("  long-L (640) K finiteness                                 FAIL")
+    kL.fast_math = False
+    KL2 = jax.jit(lambda x: kL.K(pL, x))(XL)
+    check("long-L (640) fast_math high-vs-False", KL, KL2, 1e-3)
+
     if failures:
         print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")
         raise SystemExit(1)
