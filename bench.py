@@ -265,6 +265,28 @@ def bench_selftest():
     KL2 = jax.jit(lambda x: kL.K(pL, x))(XL)
     check("long-L (640) fast_math high-vs-False", KL, KL2, 1e-3)
 
+    # wide-d lane: feature widths past _MAX_FUSED_FEATURES (PEMS is d=963)
+    # must auto-decline the fused path — Mosaic's register allocator spills
+    # the (d_aug, B*L) inputs at a scale no VMEM plan predicts — and run the
+    # XLA/blocked graph instead (regression: round 3 found d=963 OOM'd the
+    # fused kernel's total VMEM at any block size).
+    from gpsig_tpu.ops import signature_pallas as sp
+    d_wide = 963
+    if sp.fused_shape_ok(200, d_wide):
+        failures.append(("wide-d dispatch decline", 1.0, 0.0))
+        print("  wide-d (963) fused dispatch should decline              FAIL")
+    kW = kernels.SignatureRBF(d_wide, M)  # fused='auto'
+    pW = kW.init_params()
+    XW = jnp.asarray(
+        (rng.randn(8, 144, d_wide) / np.sqrt(144.0 * d_wide)).astype(
+            np.float32)
+    )
+    KW = jax.jit(lambda x: kW.K(pW, x))(XW)
+    check("wide-d (963) K symmetry", KW, KW.T, 5e-4)
+    if not bool(jnp.all(jnp.isfinite(KW))):
+        failures.append(("wide-d finiteness", float("nan"), 0.0))
+        print("  wide-d (963) K finiteness                               FAIL")
+
     if failures:
         print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")
         raise SystemExit(1)

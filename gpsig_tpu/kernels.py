@@ -236,7 +236,7 @@ class SignatureKernel:
             from .ops import signature_pallas as sp
 
             L_max = max(X.shape[1], X2.shape[1] if X2 is not None else 0)
-            if sp.fused_len_ok(L_max, self.order):
+            if sp.fused_shape_ok(L_max, X.shape[-1], self.order, self.base):
                 return sp.fused_first_order_levels(
                     X, X2, num_levels=self.num_levels, order=self.order,
                     base=self.base, fast_math=self.fast_math,

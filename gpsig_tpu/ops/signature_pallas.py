@@ -541,6 +541,7 @@ def _prep_inputs(X, base: str, difference: bool, lhs: bool):
 
 
 def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
+              vmem_limit: int,
               L_pad: int, L_true: int, L2_true: int, num_levels: int, order: int,
               base: str, difference: bool, symmetric: bool, fast_math,
               interpret: bool):
@@ -574,20 +575,63 @@ def _fwd_call(Xf, dXf, X2f, dX2f, *, nb1: int, nb2: int, BI: int, BJ: int,
             (num_levels + 1, nb1 * BI, W), jnp.float32
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(Xf, dXf, X2f, dX2f)
 
 
-def fused_len_ok(L: int, order: int = 1) -> bool:
-    """Whether the fused kernel's VMEM working set fits at this sequence
-    length even at block_j=1 (see the guard in fused_first_order_levels).
-    Dispatch sites use this to fall back to the XLA path instead of
-    OOM-ing Mosaic's stack allocator."""
-    L_pad = max(128, -(-L // 128) * 128)
+_TOTAL_VMEM = 120 * 1024 * 1024  # headroom under the chip's 128 MB VMEM
+
+# feature-width ceiling for the fused kernels: beyond this, Mosaic's
+# register allocator spills the (d_aug, B*L) input values into scoped VMEM
+# at a scale no block-size model predicts (measured: d=963 PEMS shapes
+# spill 81 MB of register slots on top of a 52 MB modeled working set).
+# Wide inputs take the XLA/blocked path instead — their base-Gram matmuls
+# are K=d-deep and MXU-efficient there.
+_MAX_FUSED_FEATURES = 128
+
+
+def _vmem_plan(L_pad: int, d_aug: int, order: int, bi: int, bj: int):
+    """(io_bytes, work_bytes): pipelined input blocks vs the kernel's
+    scoped working set.  io = two (d_aug, B*L_pad) f32 arrays per side,
+    double-buffered across grid steps (dominant for wide inputs, e.g.
+    PEMS d=963); work = ~LIVE concurrent (L, BJ*L_pad) recursion tiles
+    (grid of order^2 for higher orders) plus in-kernel input copies."""
     live = (6 + 2 * max(1, order * order)) * (2 if order > 1 else 1)
-    return live * L_pad * L_pad * 4 <= 90 * 1024 * 1024
+    io = 2 * 2 * d_aug * (bi + bj) * L_pad * 4
+    work = live * L_pad * (bj * L_pad) * 4
+    work += 4 * d_aug * (bj * L_pad + L_pad) * 4
+    return io, work
+
+
+def _pick_blocks(L_pad: int, d_aug: int, order: int, bi: int, bj: int):
+    """Largest (BI, BJ, scoped_vmem_limit) fitting total VMEM, or None.
+    Shrinks BI first (io-dominant for wide d), then BJ."""
+    bi = max(8, (bi // 8) * 8)
+    while True:
+        io, work = _vmem_plan(L_pad, d_aug, order, bi, bj)
+        limit = min(100 * 1024 * 1024, _TOTAL_VMEM - io)
+        if limit > 0 and work <= int(0.9 * limit):
+            return bi, bj, limit
+        if bi > 8:
+            bi = max(8, bi // 2)
+        elif bj > 1:
+            bj //= 2
+        else:
+            return None
+
+
+def fused_shape_ok(L: int, d: int, order: int = 1,
+                   base: str = "rbf") -> bool:
+    """Whether the fused kernel's VMEM plan fits at this sequence length /
+    feature width even at the smallest blocks.  Dispatch sites use this to
+    fall back to the XLA path instead of OOM-ing the Mosaic allocators."""
+    L_pad = max(128, -(-L // 128) * 128)
+    d_aug = d + (2 if base == "rbf" else 0)
+    if d_aug > _MAX_FUSED_FEATURES:
+        return False
+    return _pick_blocks(L_pad, d_aug, order, 16, 8) is not None
 
 
 def fused_first_order_levels(X, X2=None, *, num_levels: int,
@@ -619,24 +663,20 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     # signature-exact, so a longer X2 just zero-increments past its end)
     L_pad = max(128, -(-max(L, X2.shape[1]) // 128) * 128)
     BI, BJ = block_i, block_j
-    # VMEM guard: the kernels keep ~LIVE concurrent (L, BJ*L_pad) f32 tiles
-    # (increment Gram, recursion state, cum intermediates, split pieces;
-    # the higher-order grid multiplies the recursion state by order^2).
-    # Shrink the column block until the working set fits the 100 MB scoped
-    # limit — without this, L >~ 400 at the default blocks OOMs Mosaic's
-    # stack allocator instead of falling back.
-    live = (6 + 2 * max(1, order * order)) * (2 if order > 1 else 1)
-    budget = 90 * 1024 * 1024
-    while BJ > 1 and live * L_pad * (BJ * L_pad) * 4 > budget:
-        BJ //= 2
-    if live * L_pad * (BJ * L_pad) * 4 > budget:
+    # VMEM guard (see _vmem_plan/_pick_blocks): total VMEM must hold both
+    # the pipelined input blocks and the kernel's scoped working set —
+    # without this, L >~ 400 or d in the hundreds OOMs the Mosaic
+    # allocators at the default blocks instead of shrinking or falling
+    # back.
+    d_aug = d + (2 if base == "rbf" else 0)
+    picked = _pick_blocks(L_pad, d_aug, order, BI, BJ)
+    if picked is None:
         raise ValueError(
-            f"sequence length {L} too long for the fused kernel's VMEM "
-            "working set even at block_j=1; use K_blocked(method='xla') "
-            "or the sequence-parallel path for long L"
+            f"sequences too long/wide (L={L}, d={d}) for the fused "
+            "kernel's VMEM working set even at the smallest blocks; use "
+            "K_blocked(method='xla') or the sequence-parallel path"
         )
-    # the output block's sublane dim is BI: Mosaic requires a multiple of 8
-    BI = max(8, (BI // 8) * 8)
+    BI, BJ, vmem_limit = picked
     if symmetric:
         if BJ >= 8:
             BI = BJ = min(BI, BJ)  # upper-tri cell skip needs square cells
@@ -650,7 +690,7 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
 
     core = _make_fused_core(
         num_levels, order, base, difference, symmetric, nb1, nb2, BI, BJ,
-        L_pad, L, X2.shape[1], fast_math, interpret,
+        L_pad, L, X2.shape[1], vmem_limit, fast_math, interpret,
     )
     out = core(X, X2)
     out = out[:, :N1, :N2]
@@ -685,8 +725,8 @@ def _prep_all(X, X2, base, difference, nb1, nb2, BI, BJ, L_pad):
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
-                     nb2, BI, BJ, L_pad, L_true, L2_true, fast_math,
-                     interpret):
+                     nb2, BI, BJ, L_pad, L_true, L2_true, vmem_limit,
+                     fast_math, interpret):
     """Custom-VJP core (per static config): (X, X2) -> padded level stack.
 
     X/X2 are the raw (N, L, d) sequences; padding and input prep happen
@@ -701,6 +741,7 @@ def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
         Xf, dXf, X2f, dX2f = prep(X, X2)
         out = _fwd_call(
             Xf, dXf, X2f, dX2f, nb1=nb1, nb2=nb2, BI=BI, BJ=BJ,
+            vmem_limit=vmem_limit,
             L_pad=L_pad, L_true=L_true, L2_true=L2_true,
             num_levels=num_levels, order=order,
             base=base, difference=difference, symmetric=symmetric,
@@ -718,6 +759,7 @@ def _make_fused_core(num_levels, order, base, difference, symmetric, nb1,
         Xf, dXf, X2f, dX2f = flats
         gXf, gdXf, gX2f, gdX2f = _bwd_call(
             Xf, dXf, X2f, dX2f, ct.astype(jnp.float32), nb1=nb1, nb2=nb2,
+            vmem_limit=vmem_limit,
             BI=BI, BJ=BJ, L_pad=L_pad, L_true=L_true, L2_true=L2_true,
             num_levels=num_levels, order=order, base=base,
             difference=difference, symmetric=symmetric,
@@ -923,6 +965,7 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
 
 
 def _bwd_call(Xf, dXf, X2f, dX2f, ct, *, nb1: int, nb2: int, BI: int,
+              vmem_limit: int,
               BJ: int, L_pad: int, L_true: int, L2_true: int, num_levels: int,
               order: int, base: str, difference: bool, symmetric: bool,
               fast_math, interpret: bool):
@@ -966,7 +1009,7 @@ def _bwd_call(Xf, dXf, X2f, dX2f, ct, *, nb1: int, nb2: int, BI: int,
             jax.ShapeDtypeStruct((nb2, d_k, BJ * L_pad), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(Xf, dXf, X2f, dX2f, ct)

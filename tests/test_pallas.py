@@ -215,3 +215,36 @@ def test_exp_accurate_relative_error():
     got = np.asarray(exp_accurate(x), np.float64)
     ref = np.exp(np.asarray(x, np.float64))
     assert np.max(np.abs(got - ref) / ref) < 5e-7
+
+
+def test_vmem_plan_dispatch():
+    """The fused-kernel VMEM plan: headline shapes fit at the default
+    blocks, long L fits via block shrink then declines, wide d declines
+    outright (Mosaic register spills scale with d beyond any block-size
+    model — measured d=963 spilling 81 MB of register slots), and every
+    picked configuration satisfies the plan's invariants."""
+    # headline (L=200, d=3 rbf) and the long-L selftest lane (L=640)
+    assert sp.fused_shape_ok(200, 3)
+    assert sp.fused_shape_ok(640, 3)
+    # beyond any block shrink: the (L, L) recursion tiles alone exceed VMEM
+    assert not sp.fused_shape_ok(4000, 3)
+    # wide-d: PEMS (d=963) must decline; widths at the cap still pass
+    assert not sp.fused_shape_ok(200, 963)
+    assert sp.fused_shape_ok(200, sp._MAX_FUSED_FEATURES - 2)  # rbf aug +2
+    assert not sp.fused_shape_ok(200, sp._MAX_FUSED_FEATURES - 1)
+    assert sp.fused_shape_ok(200, sp._MAX_FUSED_FEATURES, base="linear")
+
+    for L in (128, 640, 1280):
+        for d_aug in (5, 66, 128):
+            L_pad = max(128, -(-L // 128) * 128)
+            picked = sp._pick_blocks(L_pad, d_aug, 1, 16, 8)
+            if picked is None:
+                continue
+            bi, bj, limit = picked
+            io, work = sp._vmem_plan(L_pad, d_aug, 1, bi, bj)
+            # Mosaic sublane granule on the output block's row dim
+            assert bi % 8 == 0 and bi >= 8 and bj >= 1
+            # scoped working set fits the declared limit with headroom
+            assert work <= 0.9 * limit
+            # declared scoped limit + pipelined IO fit total VMEM
+            assert io + limit <= sp._TOTAL_VMEM
