@@ -286,6 +286,23 @@ def bench_selftest():
     if not bool(jnp.all(jnp.isfinite(KW))):
         failures.append(("wide-d finiteness", float("nan"), 0.0))
         print("  wide-d (963) K finiteness                               FAIL")
+    # ... and the inducing covariances (fused Kzz/Kzx also decline at wide
+    # d and must run the XLA graph)
+    from gpsig_tpu.ops import inducing_pallas as ip
+    if ip.fused_tens_shapes_ok(10, 8, d_wide, M):
+        failures.append(("wide-d inducing dispatch decline", 1.0, 0.0))
+        print("  wide-d (963) inducing dispatch should decline           FAIL")
+    yW = rng.randint(0, 2, XW.shape[0])
+    ZW = jnp.asarray(gp_utils.suggest_initial_inducing_tensors(
+        np.asarray(XW), M, 6, labels=yW, increments=True, seed=0
+    ).astype(np.float32))
+    KzzW, KzxW, KxxW = jax.jit(
+        lambda z, x: kW.K_tens_n_seq_covs(pW, z, x, increments=True)
+    )(ZW, XW)
+    check("wide-d (963) inducing Kzz symmetry", KzzW, KzzW.T, 5e-4)
+    if not bool(jnp.all(jnp.isfinite(KzxW)) and jnp.all(jnp.isfinite(KxxW))):
+        failures.append(("wide-d inducing finiteness", float("nan"), 0.0))
+        print("  wide-d (963) inducing finiteness                        FAIL")
 
     if failures:
         print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")

@@ -236,7 +236,10 @@ class SignatureKernel:
             from .ops import signature_pallas as sp
 
             L_max = max(X.shape[1], X2.shape[1] if X2 is not None else 0)
-            if sp.fused_shape_ok(L_max, X.shape[-1], self.order, self.base):
+            if self._fused_shape_guard(
+                sp.fused_shape_ok(L_max, X.shape[-1], self.order, self.base),
+                "seq",
+            ):
                 return sp.fused_first_order_levels(
                     X, X2, num_levels=self.num_levels, order=self.order,
                     base=self.base, fast_math=self.fast_math,
@@ -331,14 +334,34 @@ class SignatureKernel:
             )
         return ok
 
+    def _fused_shape_guard(self, ok: bool, what: str) -> bool:
+        """Shape-level fused dispatch: fall back to the XLA graph when the
+        fused kernels' VMEM plan does not fit (wide d, huge lt*nZ, long L)
+        — but make the fallback an error under ``fused='on'``, matching
+        the knob's no-silent-fallback contract."""
+        if not ok and self.fused == "on":
+            raise ValueError(
+                f"fused='on' but the fused {what} kernel's VMEM working "
+                "set does not fit at these shapes; use fused='auto' to "
+                "fall back to the XLA path"
+            )
+        return ok
+
     def _K_tens(self, cp: dict, Z, increments: bool):
         if self._fused_tens_ok():
             from .ops import inducing_pallas as ind_pallas
 
-            return ind_pallas.fused_tensor_levels(
-                Z, num_levels=self.num_levels, base=self.base,
-                increments=increments,
-            )
+            if self._fused_shape_guard(
+                ind_pallas.fused_tens_shapes_ok(
+                    Z.shape[0], Z.shape[1], Z.shape[-1], self.num_levels,
+                    self.base,
+                ),
+                "Kzz",
+            ):
+                return ind_pallas.fused_tensor_levels(
+                    Z, num_levels=self.num_levels, base=self.base,
+                    increments=increments,
+                )
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
         d = Z.shape[-1]
@@ -355,11 +378,18 @@ class SignatureKernel:
         if self.order == 1 and self._fused_tens_ok():
             from .ops import inducing_pallas as ind_pallas
 
-            return ind_pallas.fused_tens_vs_seq_levels(
-                Z, X, num_levels=self.num_levels, base=self.base,
-                increments=increments, difference=self.difference,
-                fast_math=self.fast_math,
-            )
+            if self._fused_shape_guard(
+                ind_pallas.fused_tens_shapes_ok(
+                    Z.shape[0], Z.shape[1], Z.shape[-1], self.num_levels,
+                    self.base, L=X.shape[1],
+                ),
+                "Kzx",
+            ):
+                return ind_pallas.fused_tens_vs_seq_levels(
+                    Z, X, num_levels=self.num_levels, base=self.base,
+                    increments=increments, difference=self.difference,
+                    fast_math=self.fast_math,
+                )
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
         d = Z.shape[-1]

@@ -304,6 +304,45 @@ def _tens_fwd_call(Vl, Dl, Vr, Dr, *, nb: int, BN: int, num_levels: int,
     )(Vl, Dl, Vr, Dr)
 
 
+_FUSED_TENS_BUDGET = 64 * 1024 * 1024  # VMEM headroom (no CompilerParams
+# override here: stay well under Mosaic's default scoped limit)
+
+
+def fused_tens_shapes_ok(lt: int, nZ: int, d: int, num_levels: int,
+                         base: str = "rbf", L=None) -> bool:
+    """Whether the fused inducing kernels' VMEM working set fits at these
+    shapes.  Both kernels keep the full (lt, d2, nZp) value/difference
+    arrays VMEM-resident (constant-index in_specs), so the set scales with
+    lt*nZ*d; widths past ``_MAX_FUSED_FEATURES`` decline outright (Mosaic
+    register spills scale with d beyond any block model — see
+    `signature_pallas.fused_shape_ok`).  Dispatch sites
+    (`kernels.py:_K_tens/_K_tens_vs_seq`) fall back to the XLA graph.
+
+    L=None sizes the Kzz kernel (4 resident arrays + (BN, BN) recursion
+    tiles); L set sizes the Kzx kernel (2 resident arrays + pipelined
+    (d2, Lp) example blocks + the VMEM gz-accumulation slab + the
+    (BN, Lp) recursion chain kept live for the backward sweep)."""
+    from .signature_pallas import _MAX_FUSED_FEATURES
+
+    d2 = d + (0 if base == "linear" else 2)
+    if d2 > _MAX_FUSED_FEATURES:
+        return False
+    BN = 128
+    nZp = -(-nZ // BN) * BN
+    if L is None:
+        resident = 4 * lt * d2 * nZp * 4
+        work = (4 + 2 * num_levels) * BN * BN * 4
+    else:
+        Lp = max(128, -(-L // 128) * 128)
+        resident = 2 * lt * d2 * nZp * 4
+        work = (
+            2 * 2 * 2 * d2 * Lp * 4        # double-buffered xv/xd blocks
+            + 2 * 2 * lt * d2 * BN * 4     # gz slab + per-slot grad blocks
+            + (4 + 3 * num_levels) * BN * Lp * 4  # recursion chain tiles
+        )
+    return resident + work <= _FUSED_TENS_BUDGET
+
+
 def fused_tensor_levels(Z, *, num_levels: int, base: str = "rbf",
                         increments: bool = True, block: int = 128,
                         interpret: bool = False):

@@ -105,3 +105,39 @@ def test_dispatch_is_off_on_cpu():
 
     k = kernels.SignatureRBF(2, 2)
     assert not k._fused_tens_ok()
+
+
+def test_fused_tens_shape_guard():
+    """Shape-level dispatch for the fused inducing kernels: the reference
+    benchmark configuration fits, wide-d (PEMS d=963) and huge lt*nZ*d
+    working sets decline, and fused='on' turns the shape fallback into an
+    error instead of a silent XLA detour."""
+    # reference config: M=4 (lt=10), 500 incremental tensors, d=15 w/ time
+    assert ip.fused_tens_shapes_ok(10, 500, 15, 4)
+    assert ip.fused_tens_shapes_ok(10, 500, 15, 4, L=93)
+    # PEMS: d=963 declines (register spills scale with feature width)
+    assert not ip.fused_tens_shapes_ok(10, 500, 963, 4)
+    assert not ip.fused_tens_shapes_ok(10, 500, 963, 4, L=144)
+    # VMEM-resident (lt, d2, nZp) arrays outgrow the budget at huge nZ
+    assert ip.fused_tens_shapes_ok(10, 10_000, 15, 4)
+    assert not ip.fused_tens_shapes_ok(10, 80_000, 15, 4)
+
+    from gpsig_tpu import kernels
+
+    k = kernels.SignatureRBF(963, 4, fused="on")
+    k._fused_supported = lambda: True  # pretend we're on the chip
+    p = k.constrain(k.init_params())
+    Z = jnp.zeros((10, 8, 2, 963), jnp.float32)
+    X = jnp.zeros((4, 20, 963), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM working set"):
+        k._K_tens(p, Z, True)
+    with pytest.raises(ValueError, match="VMEM working set"):
+        k._K_tens_vs_seq(p, Z, X, True)
+    with pytest.raises(ValueError, match="VMEM working set"):
+        k._K_seq(p, X)
+    # fused='auto' falls back to the XLA graph and computes
+    k2 = kernels.SignatureRBF(963, 2)
+    k2._fused_supported = lambda: True
+    p2 = k2.constrain(k2.init_params())
+    out = k2._K_tens_vs_seq(p2, jnp.zeros((3, 4, 2, 963)), X[:2, :6], True)
+    assert out.shape == (3, 4, 2)
