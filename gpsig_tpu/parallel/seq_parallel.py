@@ -527,15 +527,15 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     base_kern = kern._base_kern(cp)
     N = X.shape[0]
 
-    diag_pair = (
-        make_pair_increment_fn(kern.base, base_kern)
-        if kern.normalization else None
-    )
-    out = tens_n_seq_levels_from_sequences(
+    # the diag leg rides the same gathered sequences / increment stripes as
+    # Kzx in BOTH branches: normalized runs need it for the rsqrt coupling,
+    # unnormalized runs return it level-scaled — never a second shard_map
+    Kzx_lvls, Kxx_diag = tens_n_seq_levels_from_sequences(
         mesh, base_kern, Z, Xs, kern.num_levels,
-        increments=increments, diag_pair_fn=diag_pair, axis=axis,
+        increments=increments,
+        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
+        axis=axis,
     )
-    Kzx_lvls, Kxx_diag = out if kern.normalization else (out, None)
 
     Kzz_lvls = kern._K_tens(cp, Z, increments)
     sig_var = cp["sigma"] * cp["variances"]
@@ -544,13 +544,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         Kzx_lvls = Kzx_lvls / diag_sqrt[:, None, :]
         Kxx_diag = jnp.tile(sig_var[:, None].astype(Kzx_lvls.dtype), (1, N))
     else:
-        Kxx_diag = kern._level_scale(
-            cp, seq_diag_levels_from_sequences(
-                mesh, Xs, kern.num_levels,
-                pair_fn=make_pair_increment_fn(kern.base, base_kern),
-                axis=axis,
-            )
-        )
+        Kxx_diag = kern._level_scale(cp, Kxx_diag)
     out = (
         kern._level_scale(cp, Kzz_lvls),
         kern._level_scale(cp, Kzx_lvls),

@@ -219,15 +219,18 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
         ``history[iter]['params']`` (`training.py:74-78`); off by default
         to keep long runs' histories small.
       checkpoint_path: optional file; the full training state — params,
-        optimizer state, iteration, data-stream position, and
-        ``checkpoint_extra`` (e.g. a phase id) — is saved there atomically
-        every ``save_freq`` steps and on phase end (SURVEY.md §5
-        checkpoint/resume: "params + opt state + RNG + iter").
+        optimizer state, iteration, data-stream position, best-on-val
+        snapshot + early-stop flag, and ``checkpoint_extra`` (e.g. a phase
+        id) — is saved there atomically every ``save_freq`` steps and on
+        phase end (SURVEY.md §5 checkpoint/resume: "params + opt state +
+        RNG + iter").
       checkpoint_extra: small static pytree stored alongside (phase id etc.).
       resume_from: checkpoint file written by a previous (killed) run of
-        this same phase; restores params, optimizer moments, and the
-        data-stream position, then continues to the phase's original end —
-        the resumed trajectory is bit-identical to the uninterrupted run.
+        this same phase; restores params, optimizer moments, the
+        data-stream position, the best-on-validation snapshot and the
+        patience/early-stop state, then continues to the phase's original
+        end — the resumed trajectory (including ``history['best']`` and any
+        early stop) is bit-identical to the uninterrupted run.
 
     Returns the updated history; ``history['final_params']`` holds the last
     params and ``history['best']['params']`` the best-on-validation ones.
@@ -250,6 +253,33 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
     opt_state = opt.init(params)
 
     has_stream_state = data_iter is not None and hasattr(data_iter, "state")
+    best = history.get("best")
+    stopped_early = False
+
+    def _best_state():
+        """best-on-validation as a fixed-structure array pytree (params-
+        shaped placeholder when no best exists yet, so the checkpoint
+        template is shape-stable across the whole run)."""
+        if best is None:
+            return {
+                "has_best": np.asarray(0), "iter": np.asarray(0),
+                "time": np.asarray(0.0), "elbo": np.asarray(0.0),
+                "val_score": np.asarray(0.0),
+                "val": np.zeros(0, np.float64),
+                "val_is_seq": np.asarray(0),
+                "params": params,
+            }
+        scores = best["val"]
+        is_seq = isinstance(scores, (list, tuple))
+        return {
+            "has_best": np.asarray(1), "iter": np.asarray(best["iter"]),
+            "time": np.asarray(float(best["time"])),
+            "elbo": np.asarray(float(best["elbo"])),
+            "val_score": np.asarray(float(best["val_score"])),
+            "val": np.asarray(scores if is_seq else [scores], np.float64),
+            "val_is_seq": np.asarray(int(is_seq)),
+            "params": best["params"],
+        }
 
     def _ckpt_state(it):
         state = {
@@ -257,6 +287,11 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
             # phase start survives a lost history dict: on resume, the
             # phase still ends at phase_start + max_iter
             "phase_start": np.asarray(start_iter),
+            # best-on-val + early-stop state: a resumed run must pick the
+            # same restore_best() snapshot and respect an already-tripped
+            # patience stop, not just replay params/opt/data
+            "best": _best_state(),
+            "stopped_early": np.asarray(int(stopped_early)),
         }
         if has_stream_state:
             state["data_state"] = data_iter.state()
@@ -276,6 +311,21 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
             start_iter = int(restored["phase_start"])
             if has_stream_state:
                 data_iter.set_state(restored["data_state"])
+            rb = restored["best"]
+            if int(rb["has_best"]):
+                scores = [float(v) for v in np.asarray(rb["val"])]
+                best = {
+                    "iter": int(rb["iter"]), "time": float(rb["time"]),
+                    "elbo": float(rb["elbo"]),
+                    "val": scores if int(rb["val_is_seq"]) else scores[0],
+                    "val_score": float(rb["val_score"]),
+                    "params": jax.tree.map(np.asarray, rb["params"]),
+                }
+                history["best"] = best
+            if bool(int(restored["stopped_early"])):
+                # the killed run had already early-stopped: do not train on
+                stopped_early = True
+                resume_iter = start_iter + max_iter
             log_fn(f"resumed from {resume_from} at iter {resume_iter}")
 
     @jax.jit
@@ -286,8 +336,6 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
         return params, opt_state, loss
 
     t0 = time.time()
-    best = history.get("best")
-    stopped_early = False
 
     for it in range(resume_iter + 1, start_iter + max_iter + 1):
         batch = next(data_iter) if data_iter is not None else ()
@@ -298,10 +346,6 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
             log_fn(f"iter {it} | time {now:.1f}s | loss {float(loss):.4f}")
 
         if it % save_freq == 0 or it == start_iter + max_iter:
-            if checkpoint_path is not None:
-                from . import checkpoint as ckpt
-
-                ckpt.save(checkpoint_path, _ckpt_state(it))
             rec: dict[str, Any] = {"time": now, "loss": float(loss),
                                    "elbo": -float(loss)}
             if save_params_history:
@@ -332,6 +376,12 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
                         )
                         stopped_early = True
             history[it] = rec
+            # save AFTER best/patience updates so the checkpoint at the
+            # stopping iteration carries the tripped stop and the new best
+            if checkpoint_path is not None:
+                from . import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, _ckpt_state(it))
         if stopped_early:
             break
 

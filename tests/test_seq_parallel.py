@@ -292,6 +292,18 @@ class TestSequencesInSP:
                                    rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(Kxx), np.asarray(Kxx_r),
                                    rtol=1e-9)
+        # unnormalized branch (level-scaled raw diag, single shard_map)
+        kern_u = kernels.SignatureRBF(d, M_lvls, normalization=False)
+        p_u = kern_u.init_params()
+        out_u = seq_parallel.kernel_tens_n_seq_covs_sp(
+            kern_u, p_u, mesh, jnp.asarray(Z), Xs, increments=True
+        )
+        out_r = kern_u.K_tens_n_seq_covs(
+            p_u, jnp.asarray(Z), jnp.asarray(X), increments=True
+        )
+        for a, b in zip(out_u, out_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-8, atol=1e-10)
 
     def test_svgp_elbo_sp_matches_single_device(self):
         from gpsig_tpu import SVGP, InducingTensors, kernels, likelihoods

@@ -181,3 +181,77 @@ def test_jit_determinism():
     assert float(l1) == float(l2)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_restores_best_and_early_stop(tmp_path):
+    """Checkpoints carry the best-on-validation snapshot and the patience/
+    early-stop state: a resumed run picks the same restore_best() params as
+    the uninterrupted run, and a run killed after early-stopping does not
+    train further on resume."""
+    model, params, X, Y = _setup(n=20)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+
+    def make_iter(stream):
+        return training.BatchIterator(
+            stream, batch_fn=lambda idx: (jnp.asarray(Xn[idx]),
+                                          jnp.asarray(Yn[idx]))
+        )
+
+    def loss_fn(p, xb, yb):
+        return model.loss(p, xb, yb)
+
+    # an adversarial scorer that peaks early, so 'best' != final params
+    calls = {"n": 0}
+
+    def val_scorer(p):
+        calls["n"] += 1
+        return [1.0, 10.0 - calls["n"]]  # strictly decreasing after iter 2
+
+    common = dict(max_iter=12, save_freq=2, print_freq=100,
+                  val_scorer=val_scorer, save_best_params=True)
+
+    hist_a = training.optimize(
+        loss_fn, params, optax.nadam(1e-2),
+        data_iter=make_iter(training.MinibatchStream(20, 5, 7)), **common,
+    )
+
+    calls["n"] = 0
+    path = str(tmp_path / "crash.ckpt")
+    training.optimize(
+        loss_fn, params, optax.nadam(1e-2), checkpoint_path=path,
+        data_iter=make_iter(training.MinibatchStream(20, 5, 7)),
+        **{**common, "max_iter": 6},
+    )
+    # fresh process: history dict is EMPTY — best must come from the file
+    calls["n"] = 3  # scorer state as the uninterrupted run would have it
+    hist_b = training.optimize(
+        loss_fn, params, optax.nadam(1e-2), resume_from=path,
+        data_iter=make_iter(training.MinibatchStream(20, 5, 0)), **common,
+    )
+    assert hist_b["best"]["iter"] == hist_a["best"]["iter"] == 2
+    assert hist_b["best"]["val"] == hist_a["best"]["val"]
+    ba = training.restore_best(params, hist_a)
+    bb = training.restore_best(params, hist_b)
+    for a, b in zip(jax.tree.leaves(ba), jax.tree.leaves(bb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # early stop trips at iter 8 (best iter 2, patience 5 -> 8-2 > 5);
+    # killed-after-stop + resume must NOT continue training
+    calls["n"] = 0
+    path2 = str(tmp_path / "stopped.ckpt")
+    hist_c = training.optimize(
+        loss_fn, params, optax.nadam(1e-2), checkpoint_path=path2,
+        data_iter=make_iter(training.MinibatchStream(20, 5, 7)),
+        patience=5, **common,
+    )
+    last_c = max(k for k in hist_c if isinstance(k, int))
+    hist_d = training.optimize(
+        loss_fn, params, optax.nadam(1e-2), resume_from=path2,
+        data_iter=make_iter(training.MinibatchStream(20, 5, 0)),
+        patience=5, **common,
+    )
+    assert last_c == 8  # stop tripped at iter 8
+    assert not [k for k in hist_d if isinstance(k, int)]  # trained 0 iters
+    for a, b in zip(jax.tree.leaves(hist_c["final_params"]),
+                    jax.tree.leaves(hist_d["final_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
