@@ -3,17 +3,22 @@
 The reference feeds Keras ``Masking -> LSTM/GRU`` hidden-state sequences into
 a signature-kernel SVGP (`benchmarks/models/train_gpsigrnn.py:47-92`) or the
 final hidden state into an RBF SVGP (`benchmarks/models/train_gprnn.py`).
-TPU-native version: a flax scan over time with explicit masking (timesteps
-whose features are all equal to the mask value are skipped — the carry
-passes through unchanged, exactly Keras ``Masking`` semantics), jit/pjit
-friendly with static shapes.
+TPU-native version: explicit fused gate weights with the *input projections
+for every timestep hoisted out of the scan* — one (N*L, d) @ (d, G*H) MXU
+matmul instead of L small per-step ones — then a `nn.scan` over time with
+explicit masking (timesteps whose features are all equal to the mask value
+are skipped: the carry passes through unchanged, exactly Keras ``Masking``
+semantics), jit/pjit friendly with static shapes.
 
-Dropout follows Keras recurrent-layer semantics
+Dropout follows Keras recurrent-layer ``implementation=1`` semantics
 (`train_gpsigrnn.py:54-60`: input dropout 0.25, recurrent dropout 0.05 when
-``use_dropout``): one inverted-dropout mask is sampled per *sequence* per
-call and reused at every timestep — ``dropout`` masks the step inputs,
-``recurrent_dropout`` masks the hidden state fed into the cell's recurrent
-connections (the stored carry itself stays unmasked).  Deterministic (no-op)
+``use_dropout``; Keras forces implementation=1 whenever recurrent dropout is
+active): G *independent* inverted-dropout masks — one per gate (4 for LSTM's
+i/f/c/o, 3 for GRU's z/r/h) — are sampled per *sequence* per call for the
+inputs and another G for the recurrent state, each reused at every timestep.
+``dropout`` masks the step inputs entering each gate's kernel,
+``recurrent_dropout`` masks the hidden state entering each gate's recurrent
+kernel (the stored carry itself stays unmasked).  Deterministic (no-op)
 unless called with ``deterministic=False`` and a ``'dropout'`` rng.
 """
 
@@ -22,6 +27,16 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _gate_masks(key, rate: float, n_gates: int, N: int, width: int, dtype):
+    """(G, N, width) inverted-dropout masks, one independent mask per gate
+    (Keras implementation=1), or None at rate 0."""
+    if rate <= 0.0:
+        return None
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, (n_gates, N, width))
+    return m.astype(dtype) / keep
 
 
 class MaskedRNN(nn.Module):
@@ -34,9 +49,17 @@ class MaskedRNN(nn.Module):
         (masked steps carry the previous state); else the last valid state
         (N, H).
       mask_value: timesteps where all features equal this are masked.
-      dropout: input-dropout rate (per-sequence mask, constant over time).
-      recurrent_dropout: dropout rate on the recurrent state entering the
-        cell (per-sequence mask, constant over time).
+      dropout: input-dropout rate (per-gate per-sequence masks, constant
+        over time).
+      recurrent_dropout: dropout rate on the recurrent state entering each
+        gate (per-gate per-sequence masks, constant over time).
+
+    Weight layout mirrors Keras: fused ``kernel`` (d, G*H), orthogonal
+    ``recurrent_kernel`` (H, G*H), ``bias`` (G*H) with the LSTM forget-gate
+    slice initialized to 1 (unit_forget_bias).  Gate order: LSTM i|f|c|o,
+    GRU z|r|h (reset_after=False recurrences: r gates the *state* entering
+    the candidate's recurrent kernel, which is what per-gate recurrent
+    dropout composes with).
     """
 
     hidden_dim: int
@@ -49,12 +72,27 @@ class MaskedRNN(nn.Module):
     @nn.compact
     def __call__(self, X, *, deterministic: bool = True):
         N, L, d = X.shape
+        H = self.hidden_dim
         if self.cell_type == "lstm":
-            cell = nn.OptimizedLSTMCell(self.hidden_dim)
+            G = 4
         elif self.cell_type == "gru":
-            cell = nn.GRUCell(self.hidden_dim)
+            G = 3
         else:
             raise ValueError(f"unknown cell_type {self.cell_type!r}")
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            if self.cell_type == "lstm":  # unit forget bias (gate slot 1)
+                b = b.at[H:2 * H].set(1.0)
+            return b
+
+        W = self.param("kernel", nn.initializers.xavier_uniform(), (d, G * H))
+        U = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                       (H, G * H))
+        b = self.param("bias", bias_init, (G * H,))
+        dt = jnp.promote_types(X.dtype, W.dtype)
+        X = X.astype(dt)
+        W, U, b = W.astype(dt), U.astype(dt), b.astype(dt)
 
         # padding mask from the RAW inputs (before dropout zeroes entries)
         mask = jnp.any(X != self.mask_value, axis=-1)  # (N, L)
@@ -62,58 +100,82 @@ class MaskedRNN(nn.Module):
         use_dropout = not deterministic and (
             self.dropout > 0.0 or self.recurrent_dropout > 0.0
         )
-        rec_mask = None
+        in_masks = rec_masks = None
         if use_dropout:
-            key = self.make_rng("dropout")
-            k_in, k_rec = jax.random.split(key)
-            if self.dropout > 0.0:
-                keep = 1.0 - self.dropout
-                in_mask = jax.random.bernoulli(
-                    k_in, keep, (N, d)
-                ).astype(X.dtype) / keep
-                X = X * in_mask[:, None, :]
-            if self.recurrent_dropout > 0.0:
-                keep_r = 1.0 - self.recurrent_dropout
-                rec_mask = jax.random.bernoulli(
-                    k_rec, keep_r, (N, self.hidden_dim)
-                ).astype(X.dtype) / keep_r
+            k_in, k_rec = jax.random.split(self.make_rng("dropout"))
+            in_masks = _gate_masks(k_in, self.dropout, G, N, d, dt)
+            rec_masks = _gate_masks(k_rec, self.recurrent_dropout, G, N, H, dt)
 
-        scan = nn.scan(
-            lambda c, carry, xs: _masked_step(c, carry, xs, rec_mask),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1, out_axes=1,
-        )
-        carry = cell.initialize_carry(jax.random.PRNGKey(0), (N, d))
-        # carry dtype must match the promoted step dtype (e.g. f64 inputs)
-        carry = jax.tree.map(lambda c: c.astype(X.dtype), carry)
-        carry, hs = scan(cell, carry, (X, mask))
+        # hoisted input projections: (N, L, G*H) in one MXU matmul (or G
+        # gate-sized ones under per-gate input dropout)
+        Wg = W.reshape(d, G, H)
+        if in_masks is None:
+            xp = jnp.einsum("nld,dgh->nlgh", X, Wg)
+        else:
+            xp = jnp.einsum("gnld,dgh->nlgh", X[None] * in_masks[:, :, None, :],
+                            Wg)
+        xp = xp + b.reshape(G, H)
+
+        Ug = U.reshape(H, G, H)
+
+        def recurrent(h, gates):
+            """(N, H) -> (N, |gates|, H) per-gate recurrent projections,
+            with per-gate recurrent-dropout masks on the state entering
+            each gate's slice of the recurrent kernel."""
+            Usel = Ug[:, gates]
+            if rec_masks is None:
+                return jnp.einsum("nh,hgo->ngo", h, Usel)
+            return jnp.einsum("gnh,hgo->ngo", h[None] * rec_masks[gates],
+                              Usel)
+
+        if self.cell_type == "lstm":
+            def cell_step(carry, xp_t):
+                c, h = carry
+                z = xp_t + recurrent(h, slice(0, 4))  # (N, 4, H)
+                i = jax.nn.sigmoid(z[:, 0])
+                f = jax.nn.sigmoid(z[:, 1])
+                g = jnp.tanh(z[:, 2])
+                o = jax.nn.sigmoid(z[:, 3])
+                c_new = f * c + i * g
+                h_new = o * jnp.tanh(c_new)
+                return (c_new, h_new)
+
+            carry0 = (jnp.zeros((N, H), dt), jnp.zeros((N, H), dt))
+        else:
+            def cell_step(carry, xp_t):
+                h = carry
+                rec = recurrent(h, slice(0, 2))  # (N, 2, H) for z, r
+                zg = jax.nn.sigmoid(xp_t[:, 0] + rec[:, 0])
+                r = jax.nn.sigmoid(xp_t[:, 1] + rec[:, 1])
+                # candidate: r gates the (dropout-masked) state entering
+                # the recurrent kernel (Keras reset_after=False, impl=1)
+                h_h = h if rec_masks is None else h * rec_masks[2]
+                rec_h = jnp.einsum("nh,ho->no", r * h_h, Ug[:, 2])
+                hh = jnp.tanh(xp_t[:, 2] + rec_h)
+                return zg * h + (1.0 - zg) * hh
+
+            carry0 = jnp.zeros((N, H), dt)
+
+        def step(carry, xs):
+            xp_t, m_t = xs  # (N, G, H), (N,)
+            new_carry = cell_step(carry, xp_t)
+            m = m_t[:, None]
+
+            def keep(new, old):
+                return jnp.where(m, new, old)
+
+            carry = jax.tree.map(keep, new_carry, carry)
+            # masked steps repeat the previous output (the carried hidden
+            # state is exactly the masked y for both cell types) ->
+            # signature-invariant padding for the downstream sig kernel
+            y = carry[1] if isinstance(carry, tuple) else carry
+            return carry, y
+
+        _, hs = jax.lax.scan(step, carry0,
+                             (jnp.swapaxes(xp, 0, 1), mask.T))
+        hs = jnp.swapaxes(hs, 0, 1)  # (N, L, H)
         if self.return_sequences:
-            return hs  # (N, L, H)
-        # last valid state: hs holds the carried state at every step, so the
-        # final step already carries the last unmasked output
+            return hs
+        # last valid state: hs holds the carried state at every step, so
+        # the final step already carries the last unmasked output
         return hs[:, -1, :]
-
-
-def _masked_step(cell, carry, xs, rec_mask=None):
-    x_t, m_t = xs  # (N, d), (N,)
-    if rec_mask is None:
-        cell_in = carry
-    elif isinstance(carry, tuple):
-        # LSTM carry (c, h): recurrent dropout masks the h entering the
-        # gates (Keras semantics); the cell state c is untouched
-        cell_in = (carry[0], carry[1] * rec_mask)
-    else:
-        cell_in = carry * rec_mask
-    new_carry, y = cell(cell_in, x_t)
-    m = m_t[:, None]
-
-    def keep(new, old):
-        return jnp.where(m, new, old)
-
-    carry = jax.tree.map(keep, new_carry, carry)
-    # masked steps repeat the previous output (the carried hidden state is
-    # exactly the masked y for both cell types) -> signature-invariant
-    # padding for the downstream signature kernel
-    y = carry[1] if isinstance(carry, tuple) else carry
-    return carry, y

@@ -120,52 +120,44 @@ def _linear_increment_diag(X, precision):
     return jnp.einsum("bsd,btd->bst", dX, dX, precision=precision)
 
 
-def _rbf_increment_cross(Xa, Xb, precision):
-    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) rbf increment Gram."""
+def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free rbf increment-Gram algebra, shared by the cross /
+    diag / pair variants (which differ only in the einsum subscripts and
+    where the per-side norm terms broadcast).  exp(A00)*(expm1(d01+d10+dxx)
+    - expm1(d01) - expm1(d10)) evaluates the second difference of the rbf
+    Gram without subtracting nearly-equal exponentials."""
     Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
     Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
     # d(|x|^2)/(-2) per step, cancellation-free
-    dna = -0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1)  # (A, L1-1)
-    dnb = -0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1)  # (B, L2-1)
-    na = -0.5 * jnp.sum(jnp.square(Xa0), axis=-1)  # (A, L1-1)
-    nb = -0.5 * jnp.sum(jnp.square(Xb0), axis=-1)  # (B, L2-1)
-    inner = jnp.einsum("asd,btd->abst", Xa0, Xb0, precision=precision)
-    A00 = inner + na[:, None, :, None] + nb[None, :, None, :]
-    d01 = (
-        jnp.einsum("asd,btd->abst", Xa0, dXb, precision=precision)
-        + dnb[None, :, None, :]
-    )
-    d10 = (
-        jnp.einsum("asd,btd->abst", dXa, Xb0, precision=precision)
-        + dna[:, None, :, None]
-    )
-    dxx = jnp.einsum("asd,btd->abst", dXa, dXb, precision=precision)
+    dna = bcast_a(-0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1))
+    dnb = bcast_b(-0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1))
+    na = bcast_a(-0.5 * jnp.sum(jnp.square(Xa0), axis=-1))
+    nb = bcast_b(-0.5 * jnp.sum(jnp.square(Xb0), axis=-1))
+
+    def mm(A, B):
+        return jnp.einsum(spec, A, B, precision=precision)
+
+    A00 = mm(Xa0, Xb0) + na + nb
+    d01 = mm(Xa0, dXb) + dnb
+    d10 = mm(dXa, Xb0) + dna
+    dxx = mm(dXa, dXb)
     return exp_accurate(A00) * (
         _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
         - _expm1_stable(d10)
+    )
+
+
+def _rbf_increment_cross(Xa, Xb, precision):
+    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) rbf increment Gram."""
+    return _rbf_increment_core(
+        Xa, Xb, precision, "asd,btd->abst",
+        lambda v: v[:, None, :, None], lambda v: v[None, :, None, :],
     )
 
 
 def _rbf_increment_diag(X, precision):
     """(B, L, d) -> (B, L-1, L-1) per-example rbf increment Grams."""
-    X0, dX = X[:, :-1], X[:, 1:] - X[:, :-1]
-    dn = -0.5 * jnp.sum((X[:, 1:] + X[:, :-1]) * dX, axis=-1)  # (B, L-1)
-    n = -0.5 * jnp.sum(jnp.square(X0), axis=-1)
-    inner = jnp.einsum("bsd,btd->bst", X0, X0, precision=precision)
-    A00 = inner + n[:, :, None] + n[:, None, :]
-    d01 = (
-        jnp.einsum("bsd,btd->bst", X0, dX, precision=precision)
-        + dn[:, None, :]
-    )
-    d10 = (
-        jnp.einsum("bsd,btd->bst", dX, X0, precision=precision)
-        + dn[:, :, None]
-    )
-    dxx = jnp.einsum("bsd,btd->bst", dX, dX, precision=precision)
-    return exp_accurate(A00) * (
-        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
-        - _expm1_stable(d10)
-    )
+    return _rbf_increment_pair(X, X, precision)
 
 
 def _linear_increment_pair(Xa, Xb, precision):
@@ -180,27 +172,11 @@ def _linear_increment_pair(Xa, Xb, precision):
 
 def _rbf_increment_pair(Xa, Xb, precision):
     """(N, La, d), (N, Lb, d) -> (N, La-1, Lb-1) per-example rbf increment
-    Grams (cancellation-free, same algebra as `_rbf_increment_cross`)."""
-    Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
-    Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
-    dna = -0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1)  # (N, La-1)
-    dnb = -0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1)  # (N, Lb-1)
-    na = -0.5 * jnp.sum(jnp.square(Xa0), axis=-1)
-    nb = -0.5 * jnp.sum(jnp.square(Xb0), axis=-1)
-    inner = jnp.einsum("nsd,ntd->nst", Xa0, Xb0, precision=precision)
-    A00 = inner + na[:, :, None] + nb[:, None, :]
-    d01 = (
-        jnp.einsum("nsd,ntd->nst", Xa0, dXb, precision=precision)
-        + dnb[:, None, :]
-    )
-    d10 = (
-        jnp.einsum("nsd,ntd->nst", dXa, Xb0, precision=precision)
-        + dna[:, :, None]
-    )
-    dxx = jnp.einsum("nsd,ntd->nst", dXa, dXb, precision=precision)
-    return exp_accurate(A00) * (
-        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
-        - _expm1_stable(d10)
+    Grams between two (possibly different-length) views of the same example
+    batch — the sequence-parallel building block."""
+    return _rbf_increment_core(
+        Xa, Xb, precision, "nsd,ntd->nst",
+        lambda v: v[:, :, None], lambda v: v[:, None, :],
     )
 
 

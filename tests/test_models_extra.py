@@ -237,3 +237,59 @@ class TestRNNDropout:
         e1 = float(model.loss(params, Xj, Yj))
         e2 = float(model.loss(params, Xj, Yj))
         assert e1 == e2
+
+    def test_per_gate_masks_are_independent(self):
+        from gpsig_tpu.models.rnn import _gate_masks
+
+        m = _gate_masks(jax.random.PRNGKey(0), 0.5, 4, 64, 16, jnp.float64)
+        assert m.shape == (4, 64, 16)
+        # Keras implementation=1: each gate draws its OWN mask
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not np.array_equal(np.asarray(m[a]), np.asarray(m[b]))
+        assert _gate_masks(jax.random.PRNGKey(0), 0.0, 4, 8, 3,
+                           jnp.float64) is None
+
+
+class TestRNNOracle:
+    """The fused-gate cells against plain numpy Keras-layout recurrences
+    (gate order LSTM i|f|c|o with unit forget bias, GRU z|r|h with
+    reset_after=False candidate gating)."""
+
+    def _np_forward(self, cell, X, W, U, b, H):
+        N, L, d = X.shape
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        h = np.zeros((N, H))
+        c = np.zeros((N, H))
+        for t in range(L):
+            x = X[:, t]
+            if cell == "lstm":
+                z = x @ W + h @ U + b
+                i, f = sig(z[:, :H]), sig(z[:, H:2 * H])
+                g, o = np.tanh(z[:, 2 * H:3 * H]), sig(z[:, 3 * H:])
+                c = f * c + i * g
+                h = o * np.tanh(c)
+            else:
+                xp = x @ W + b
+                rec = h @ U
+                zg = sig(xp[:, :H] + rec[:, :H])
+                r = sig(xp[:, H:2 * H] + rec[:, H:2 * H])
+                hh = np.tanh(xp[:, 2 * H:] + (r * h) @ U[:, 2 * H:])
+                h = zg * h + (1.0 - zg) * hh
+        return h
+
+    @pytest.mark.parametrize("cell", ["lstm", "gru"])
+    def test_matches_numpy_recurrence(self, cell):
+        N, L, d, H = 3, 6, 2, 4
+        X = RNG.randn(N, L, d) + 0.5  # keep away from the mask value 0
+        enc = MaskedRNN(hidden_dim=H, cell_type=cell, return_sequences=False)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(X))
+        p = v["params"]
+        W, U, b = (np.asarray(p["kernel"]), np.asarray(p["recurrent_kernel"]),
+                   np.asarray(p["bias"]))
+        if cell == "lstm":  # unit forget bias baked into init
+            np.testing.assert_array_equal(b[H:2 * H], np.ones(H))
+        h_ref = self._np_forward(cell, X, W, U, b, H)
+        h = enc.apply(v, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(h), h_ref, rtol=1e-9,
+                                   atol=1e-12)
