@@ -8,6 +8,11 @@
 # Each .mat carries X_train/y_train/X_test/y_test as ragged object arrays
 # (see gpsig_tpu/datasets.py for the exact layout contract).
 #
+# If the Dropbox bundle is gone, the loader also reads the UEA archive's
+# native .ts format — extract Multivariate_ts.zip from
+# timeseriesclassification.com into this directory instead (each dataset
+# in its own subdirectory; no conversion needed).
+#
 # In a zero-egress environment this script cannot run; generate the
 # deterministic synthetic stand-ins instead, which exercise the identical
 # code path end-to-end:

@@ -53,31 +53,110 @@ def _stratified_split(X_list, y, size, rng):
     return keep, y[~mask], hold, y[mask]
 
 
+def _parse_ts_file(path: str):
+    """Parse a UEA/sktime ``.ts`` text file into (list of (L, d) float64
+    arrays, labels ndarray).
+
+    Format (today's canonical UEA archive distribution, which replaced the
+    reference's dead Dropbox ``.mat`` bundle): ``#`` comment lines, ``@``
+    header lines (``@problemName``, ``@classLabel true <labels...>``,
+    ``@data``), then one case per line — dimensions separated by ``:``,
+    values comma-separated within a dimension, the trailing field being the
+    class label; ``?`` marks a missing value (NaN here).  Per-case ragged
+    lengths are allowed; ``@timeStamps true`` files (explicit (t, v) pairs)
+    are not supported.
+    """
+    X, y = [], []
+    in_data = False
+    has_labels = True
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if not in_data:
+                low = line.lower()
+                if low.startswith("@timestamps") and "true" in low:
+                    raise ValueError(
+                        f"{path}: @timeStamps true (.ts files with explicit "
+                        "time tuples) is not supported"
+                    )
+                if low.startswith("@classlabel"):
+                    toks = low.split()
+                    has_labels = len(toks) > 1 and toks[1] == "true"
+                if low.startswith("@data"):
+                    in_data = True
+                continue
+            parts = line.split(":")
+            if has_labels:
+                parts, label = parts[:-1], parts[-1].strip()
+                y.append(label)
+            dims = []
+            for dim in parts:
+                vals = [float("nan") if v.strip() == "?" else float(v)
+                        for v in dim.split(",") if v.strip() != ""]
+                dims.append(vals)
+            L = max(len(v) for v in dims)
+            arr = np.full((L, len(dims)), np.nan)
+            for j, vals in enumerate(dims):
+                arr[:len(vals), j] = vals
+            X.append(arr)
+    labels = np.asarray(y) if has_labels else np.zeros(len(X))
+    try:  # numeric labels stay numeric (matches the .mat loader)
+        labels = labels.astype(np.float64)
+    except ValueError:
+        pass
+    return X, labels
+
+
+def _load_ts_split(data_dir: str, name: str, split: str):
+    """Find ``{name}_{split}.ts`` either flat in ``data_dir`` or under the
+    standard UEA layout ``data_dir/{name}/{name}_{split}.ts``."""
+    for p in (os.path.join(data_dir, f"{name}_{split}.ts"),
+              os.path.join(data_dir, name, f"{name}_{split}.ts")):
+        if os.path.exists(p):
+            return _parse_ts_file(p)
+    return None
+
+
 def load_dataset(dataset_name: str, *, for_model: str = "sig",
                  normalize_data: bool = False, add_time: bool = False,
                  max_len: int | None = None, val_split=None, test_split=None,
                  data_dir: str | None = None, seed: int = 0,
                  return_min_len: bool = False):
-    """Load and preprocess a UEA ``.mat`` dataset.
+    """Load and preprocess a UEA dataset from ``.mat`` (the reference's
+    format, `benchmarks/utils/datasets.py:16-25`) or, when no ``.mat`` is
+    present, from the UEA archive's native ``.ts`` text format
+    (``{name}_TRAIN.ts`` / ``{name}_TEST.ts``, flat or in a ``{name}/``
+    subdirectory).
 
     Returns (X_train, y_train, X_val, y_val, X_test, y_test) with X arrays
     of shape (N, L_max, d) and integer labels 0..C-1; X_val/y_val are None
     when no validation split is requested.
     """
-    from scipy.io import loadmat
-
     data_dir = data_dir or DEFAULT_DATA_DIR
     path = os.path.join(data_dir, f"{dataset_name}.mat")
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"{path} not found; download the UEA archive into {data_dir} "
-            "(see benchmarks/README.md)"
-        )
-    data = loadmat(path)
-    X_train = [np.asarray(x, dtype=np.float64) for x in np.squeeze(data["X_train"])]
-    X_test = [np.asarray(x, dtype=np.float64) for x in np.squeeze(data["X_test"])]
-    y_train = np.squeeze(data["y_train"])
-    y_test = np.squeeze(data["y_test"])
+    if os.path.exists(path):
+        from scipy.io import loadmat
+
+        data = loadmat(path)
+        X_train = [np.asarray(x, dtype=np.float64)
+                   for x in np.squeeze(data["X_train"])]
+        X_test = [np.asarray(x, dtype=np.float64)
+                  for x in np.squeeze(data["X_test"])]
+        y_train = np.squeeze(data["y_train"])
+        y_test = np.squeeze(data["y_test"])
+    else:
+        train = _load_ts_split(data_dir, dataset_name, "TRAIN")
+        test = _load_ts_split(data_dir, dataset_name, "TEST")
+        if train is None or test is None:
+            raise FileNotFoundError(
+                f"neither {path} nor {dataset_name}_TRAIN/TEST.ts found in "
+                f"{data_dir}; download the UEA archive there "
+                "(see benchmarks/README.md)"
+            )
+        X_train, y_train = train
+        X_test, y_test = test
 
     len_min = min(
         min(x.shape[0] for x in X_train), min(x.shape[0] for x in X_test)

@@ -87,6 +87,69 @@ class TestLoadDataset:
         )
         assert Xtr.shape[1] <= 5
 
+
+TS_TRAIN = """# tiny multivariate UEA .ts fixture
+@problemName SynthTS
+@timeStamps false
+@univariate false
+@classLabel true 1 2 3
+@data
+1.0,2.0,3.0:10.0,20.0,30.0:1
+1.5,2.5:11.0,21.0:2
+0.5,1.5,2.5,3.5:5.0,6.0,7.0,8.0:3
+2.0,3.0,4.0:12.0,22.0,32.0:1
+2.5,3.5:13.0,23.0:2
+1.0,2.0,3.0,4.0:6.0,7.0,8.0,9.0:3
+"""
+
+
+class TestTSFormat:
+    """Native UEA .ts text-format loading (the archive's current
+    distribution format; the reference only read the retired .mat
+    bundle, `benchmarks/utils/datasets.py:16-25`)."""
+
+    @pytest.fixture(scope="class")
+    def ts_dataset(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("tsdata")
+        sub = os.path.join(tmp, "SynthTS")
+        os.makedirs(sub)
+        with open(os.path.join(sub, "SynthTS_TRAIN.ts"), "w") as f:
+            f.write(TS_TRAIN)
+        # TEST split flat in data_dir (both layouts must resolve)
+        with open(os.path.join(tmp, "SynthTS_TEST.ts"), "w") as f:
+            f.write(TS_TRAIN.replace("3.0:1", "3.25:1"))
+        return str(tmp)
+
+    def test_parse_shapes_and_labels(self, ts_dataset):
+        X, y = datasets._parse_ts_file(
+            os.path.join(ts_dataset, "SynthTS", "SynthTS_TRAIN.ts"))
+        assert len(X) == 6 and X[0].shape == (3, 2) and X[1].shape == (2, 2)
+        np.testing.assert_array_equal(y, [1, 2, 3, 1, 2, 3])
+        np.testing.assert_allclose(X[0][:, 1], [10.0, 20.0, 30.0])
+
+    def test_load_dataset_end_to_end(self, ts_dataset):
+        Xtr, ytr, Xv, yv, Xte, yte = datasets.load_dataset(
+            "SynthTS", data_dir=ts_dataset, for_model="sig", add_time=True,
+            normalize_data=True,
+        )
+        assert Xtr.ndim == 3 and Xtr.shape[2] == 3  # time channel added
+        assert set(np.unique(ytr)) == {0, 1, 2}  # labels reindexed
+        assert np.isfinite(Xtr).all()  # repeat-last padding, no NaNs
+        assert Xte.shape[0] == 6
+
+    def test_missing_values_become_nan(self, tmp_path):
+        with open(tmp_path / "M_TRAIN.ts", "w") as f:
+            f.write("@classLabel true a b\n@data\n1.0,?,3.0:a\n2.0,4.0,6.0:b\n")
+        X, y = datasets._parse_ts_file(str(tmp_path / "M_TRAIN.ts"))
+        assert np.isnan(X[0][1, 0]) and not np.isnan(X[1]).any()
+        assert list(y) == ["a", "b"]  # non-numeric labels survive
+
+    def test_timestamps_rejected(self, tmp_path):
+        with open(tmp_path / "T_TRAIN.ts", "w") as f:
+            f.write("@timeStamps true\n@data\n(0,1.0):1\n")
+        with pytest.raises(ValueError, match="timeStamps"):
+            datasets._parse_ts_file(str(tmp_path / "T_TRAIN.ts"))
+
     def test_missing_dataset_message(self, synth_dataset):
         with pytest.raises(FileNotFoundError):
             datasets.load_dataset("Nope", data_dir=synth_dataset)
