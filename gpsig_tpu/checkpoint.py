@@ -31,13 +31,26 @@ def save(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def restore(path: str, like: dict) -> dict:
+def restore(path: str, like: dict, *, fill_missing: bool = False) -> dict:
     """Load a pytree saved by :func:`save`; ``like`` supplies the structure
-    (and dtypes) to restore into."""
+    (and dtypes) to restore into.
+
+    ``fill_missing=True`` tolerates files written by an older build whose
+    *top-level* state schema lacked keys ``like`` has (e.g. checkpoints
+    without the best-on-val / early-stop fields): those entries keep the
+    template's value instead of raising.  Only the top level fills —
+    structure mismatches *within* a key (e.g. a param tree from an
+    incompatible model build) still raise rather than silently defaulting."""
     with open(path, "rb") as f:
         data = f.read()
     like_np = jax.tree.map(np.asarray, like)
-    restored = serialization.from_bytes(like_np, data)
+    if fill_missing:
+        raw = serialization.msgpack_restore(data)
+        tmpl = serialization.to_state_dict(like_np)
+        merged = {k: raw.get(k, v) for k, v in tmpl.items()}
+        restored = serialization.from_state_dict(like_np, merged)
+    else:
+        restored = serialization.from_bytes(like_np, data)
     # cast on host first: requesting x64 dtypes from jnp under the f32
     # regime warns; numpy cast + plain asarray downcasts quietly instead
     return jax.tree.map(

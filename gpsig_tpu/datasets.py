@@ -68,7 +68,7 @@ def _parse_ts_file(path: str):
     """
     X, y = [], []
     in_data = False
-    has_labels = True
+    has_labels = None
     with open(path) as f:
         for raw in f:
             line = raw.strip()
@@ -85,6 +85,12 @@ def _parse_ts_file(path: str):
                     toks = low.split()
                     has_labels = len(toks) > 1 and toks[1] == "true"
                 if low.startswith("@data"):
+                    if has_labels is None:
+                        # never guess: silently eating the last dimension
+                        # as a label would corrupt label-less files
+                        raise ValueError(
+                            f"{path}: no @classLabel header before @data"
+                        )
                     in_data = True
                 continue
             parts = line.split(":")
@@ -107,6 +113,33 @@ def _parse_ts_file(path: str):
     except ValueError:
         pass
     return X, labels
+
+
+def _impute_missing(x: np.ndarray) -> np.ndarray:
+    """Per-channel forward-fill then backward-fill of NaNs (from ``?``
+    markers or within-case ragged dimension lengths in ``.ts`` files);
+    channels with no finite value at all become 0.  Downstream families
+    other than 'kconv' have no NaN masking — one surviving NaN would
+    silently poison normalization stats and every Gram touching it."""
+    if not np.isnan(x).any():
+        return x
+    x = x.copy()
+    n = x.shape[0]
+    for j in range(x.shape[1]):
+        col = x[:, j]
+        ok = np.isfinite(col)
+        if not ok.any():
+            x[:, j] = 0.0
+            continue
+        idx = np.where(ok, np.arange(n), -1)
+        np.maximum.accumulate(idx, out=idx)          # forward fill
+        filled = col[np.maximum(idx, 0)]
+        lead = idx < 0                               # leading NaNs remain
+        if lead.any():
+            first = np.flatnonzero(ok)[0]
+            filled[lead] = col[first]                # backward fill head
+        x[:, j] = filled
+    return x
 
 
 def _load_ts_split(data_dir: str, name: str, split: str):
@@ -157,6 +190,17 @@ def load_dataset(dataset_name: str, *, for_model: str = "sig",
             )
         X_train, y_train = train
         X_test, y_test = test
+        n_missing = sum(int(np.isnan(x).sum()) for x in X_train + X_test)
+        if n_missing:
+            import warnings
+
+            warnings.warn(
+                f"{dataset_name}: imputed {n_missing} missing values "
+                "('?' / ragged dims) by per-channel forward/backward fill",
+                stacklevel=2,
+            )
+            X_train = [_impute_missing(x) for x in X_train]
+            X_test = [_impute_missing(x) for x in X_test]
 
     len_min = min(
         min(x.shape[0] for x in X_train), min(x.shape[0] for x in X_test)
@@ -170,7 +214,8 @@ def load_dataset(dataset_name: str, *, for_model: str = "sig",
         X_train = [prep.mean_pool_to_max_len(x, max_len) for x in X_train]
         X_test = [prep.mean_pool_to_max_len(x, max_len) for x in X_test]
 
-    num_classes = np.unique(y_train.astype(np.int64)).size
+    # no int cast: .ts class labels may be strings (e.g. BasicMotions)
+    num_classes = np.unique(y_train).size
     rng = np.random.RandomState(seed)
 
     def _norm_split(split):

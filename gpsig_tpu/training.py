@@ -304,7 +304,18 @@ def optimize(loss_fn, params, opt, *, max_iter: int,
         from . import checkpoint as ckpt
 
         if ckpt.exists(resume_from):
-            restored = ckpt.restore(resume_from, like=_ckpt_state(0))
+            try:
+                # fill_missing: files from an older build without the
+                # best/early-stop fields resume with those at defaults
+                restored = ckpt.restore(resume_from, like=_ckpt_state(0),
+                                        fill_missing=True)
+            except (ValueError, KeyError, TypeError) as e:
+                raise ValueError(
+                    f"checkpoint {resume_from} is incompatible with this "
+                    "build (its state tree does not match the current "
+                    "model/optimizer structure); delete it to start the "
+                    f"phase fresh. Underlying error: {e}"
+                ) from e
             params = restored["params"]
             opt_state = restored["opt_state"]
             resume_iter = int(restored["iter"])

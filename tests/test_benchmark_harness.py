@@ -87,6 +87,10 @@ class TestLoadDataset:
         )
         assert Xtr.shape[1] <= 5
 
+    def test_missing_dataset_message(self, synth_dataset):
+        with pytest.raises(FileNotFoundError):
+            datasets.load_dataset("Nope", data_dir=synth_dataset)
+
 
 TS_TRAIN = """# tiny multivariate UEA .ts fixture
 @problemName SynthTS
@@ -150,9 +154,38 @@ class TestTSFormat:
         with pytest.raises(ValueError, match="timeStamps"):
             datasets._parse_ts_file(str(tmp_path / "T_TRAIN.ts"))
 
-    def test_missing_dataset_message(self, synth_dataset):
-        with pytest.raises(FileNotFoundError):
-            datasets.load_dataset("Nope", data_dir=synth_dataset)
+    def test_missing_classlabel_header_rejected(self, tmp_path):
+        with open(tmp_path / "H_TRAIN.ts", "w") as f:
+            f.write("@problemName H\n@data\n1.0,2.0:1\n")
+        with pytest.raises(ValueError, match="classLabel"):
+            datasets._parse_ts_file(str(tmp_path / "H_TRAIN.ts"))
+
+    def test_string_labels_and_imputation_end_to_end(self, tmp_path):
+        # string class labels + '?' missing values: the loader must
+        # reindex labels without an int cast and impute NaNs (ffill/bfill)
+        body = ("@classLabel true walk run\n@data\n"
+                "?,2.0,3.0:10.0,?,30.0:walk\n"
+                "1.0,2.0,4.0:11.0,21.0,31.0:run\n"
+                "2.0,3.0,5.0:12.0,22.0,32.0:walk\n"
+                "3.0,4.0,6.0:13.0,23.0,33.0:run\n")
+        for s in ("TRAIN", "TEST"):
+            with open(tmp_path / f"S_{s}.ts", "w") as f:
+                f.write(body)
+        with pytest.warns(UserWarning, match="imputed"):
+            Xtr, ytr, _, _, Xte, yte = datasets.load_dataset(
+                "S", data_dir=str(tmp_path), for_model="sig",
+                normalize_data=True,
+            )
+        assert np.isfinite(Xtr).all() and np.isfinite(Xte).all()
+        assert set(np.unique(ytr)) == {0, 1}
+
+    def test_impute_missing(self):
+        x = np.array([[np.nan, 1.0], [2.0, np.nan], [np.nan, 3.0]])
+        out = datasets._impute_missing(x)
+        # ffill for interior/trailing, bfill for leading, per channel
+        np.testing.assert_allclose(out, [[2.0, 1.0], [2.0, 1.0], [2.0, 3.0]])
+        allnan = np.full((3, 1), np.nan)
+        np.testing.assert_allclose(datasets._impute_missing(allnan), 0.0)
 
 
 class TestTrainerRecipes:

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +101,39 @@ def test_checkpointed_training(tmp_path):
     for a, b in zip(jax.tree.leaves(restored["params"]),
                     jax.tree.leaves(hist["final_params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_legacy_checkpoint_resumes_with_defaults(tmp_path):
+    """A checkpoint written by an older build (no best/early-stop fields)
+    still resumes — the missing schema keys fill from the template — and a
+    checkpoint with an incompatible param tree raises a clear error rather
+    than a bare flax KeyError."""
+    model, params, X, Y = _setup()
+    opt = optax.nadam(1e-2)
+    mask = jax.tree.map(lambda _: True, params)
+    legacy_opt_state = training.masked_optimizer(opt, mask).init(params)
+    path = str(tmp_path / "legacy.ckpt")
+    checkpoint.save(path, {
+        "params": params, "opt_state": legacy_opt_state,
+        "iter": np.asarray(4), "phase_start": np.asarray(0),
+    })
+    hist = training.optimize(
+        lambda p, x, y: model.loss(p, x, y), params, opt,
+        max_iter=8, data_iter=iter(lambda: (X, Y), None),
+        print_freq=100, resume_from=path,
+    )
+    assert [k for k in hist if isinstance(k, int)]  # trained 5..8
+    bad = str(tmp_path / "bad.ckpt")
+    checkpoint.save(bad, {
+        "params": {"not": np.zeros(3)}, "opt_state": legacy_opt_state,
+        "iter": np.asarray(4), "phase_start": np.asarray(0),
+    })
+    with pytest.raises(ValueError, match="incompatible"):
+        training.optimize(
+            lambda p, x, y: model.loss(p, x, y), params, opt,
+            max_iter=8, data_iter=iter(lambda: (X, Y), None),
+            print_freq=100, resume_from=bad,
+        )
 
 
 def test_minibatch_stream_state_roundtrip():
