@@ -4,3 +4,4 @@ from .sharding import (  # noqa: F401
     shard_params,
     make_train_step,
 )
+from .gram_parallel import kernel_K_dp  # noqa: F401

@@ -106,3 +106,74 @@ def test_inducing_sequences_sharding():
     with mesh:
         p, s, loss = step(params_s, jax.device_put(opt.init(params_s)), Xs, Ys)
     assert np.isfinite(float(loss))
+
+
+class TestDistributedGram:
+    """Example-sharded K blocks over the ('data','model') mesh
+    (`parallel/gram_parallel.py`): each device computes and holds only its
+    (N1/P, N2/Q) tile; values match single-device `SignatureKernel.K`."""
+
+    def _xs(self, n1=17, n2=11, L=9, d=2, seed=5):
+        rng = np.random.RandomState(seed)
+        return (jnp.asarray(rng.randn(n1, L, d)),
+                jnp.asarray(rng.randn(n2, L + 3, d)))
+
+    def test_symmetric_matches_K(self):
+        X, _ = self._xs()
+        kern = kernels.SignatureRBF(2, 3)
+        p = kern.init_params()
+        mesh = parallel.make_mesh(8)  # data=4, model=2; 17 ragged over both
+        Kd = parallel.kernel_K_dp(kern, p, mesh, X)
+        Kref = kern.K(p, X)
+        assert Kd.shape == (17, 17)
+        np.testing.assert_allclose(np.asarray(Kd), np.asarray(Kref),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_cross_and_unnormalized_and_levels(self):
+        X, X2 = self._xs()
+        mesh = parallel.make_mesh(8)
+        for norm in (True, False):
+            kern = kernels.SignatureRBF(2, 2, normalization=norm)
+            p = kern.init_params()
+            Kd = parallel.kernel_K_dp(kern, p, mesh, X, X2)
+            Kref = kern.K(p, X, X2)
+            np.testing.assert_allclose(np.asarray(Kd), np.asarray(Kref),
+                                       rtol=1e-9, atol=1e-11)
+        kern = kernels.SignatureRBF(2, 2)
+        p = kern.init_params()
+        Kl = parallel.kernel_K_dp(kern, p, mesh, X, X2, return_levels=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(Kl, axis=0)),
+            np.asarray(kern.K(p, X, X2)), rtol=1e-9, atol=1e-11)
+
+    def test_higher_order_and_lags(self):
+        # no order/lag restriction (unlike time-axis SP: lags interpolate
+        # across time chunks, but example blocks keep whole sequences)
+        X, X2 = self._xs(n1=8, n2=8)
+        mesh = parallel.make_mesh(8, data=2, model=4)
+        kern = kernels.SignatureRBF(2, 3, order=2, num_lags=1)
+        p = kern.init_params()
+        Kd = parallel.kernel_K_dp(kern, p, mesh, X, X2,
+                                  axes=("data", "model"))
+        np.testing.assert_allclose(np.asarray(Kd), np.asarray(kern.K(p, X, X2)),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_blocks_stay_distributed(self):
+        # each device's shard is exactly its (ceil(N1/P), ceil(N2/Q)) tile
+        X, X2 = self._xs(n1=16, n2=16)
+        mesh = parallel.make_mesh(8)  # 4 x 2
+        kern = kernels.SignatureRBF(2, 2)
+        p = kern.init_params()
+        Kd = jax.jit(
+            lambda x, x2: parallel.kernel_K_dp(kern, p, mesh, x, x2)
+        )(X, X2)
+        shard_shapes = {s.data.shape for s in Kd.addressable_shards}
+        assert shard_shapes == {(4, 8)}
+        assert len(Kd.addressable_shards) == 8
+
+    def test_low_rank_rejected(self):
+        X, _ = self._xs(n1=8)
+        kern = kernels.SignatureRBF(2, 2, low_rank=True, num_components=8)
+        with pytest.raises(NotImplementedError, match="low-rank"):
+            parallel.kernel_K_dp(kern, kern.init_params(),
+                                 parallel.make_mesh(8), X)
