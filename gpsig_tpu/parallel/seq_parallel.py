@@ -369,6 +369,36 @@ def seq_cross_levels_from_sequences(mesh: Mesh, X, X2, num_levels: int, *,
     )(X, X2)
 
 
+def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
+                                   pair_cross_fn, diag_pair_fn,
+                                   axes: tuple[str, str]):
+    """One-sided SP covariances for inducing *sequences*: short Z sequences
+    (time axis on the size-1 ``axes[0]`` mesh axis — effectively local) vs
+    long X sequences time-sharded over ``axes[1]``, plus X's per-level
+    diagonals, sharing ONE gathered copy of X per device.
+
+    Returns (Kzx_lvls (M+1, N1, N2), Kxx_diag_lvls (M+1, N2))."""
+    ax_s, ax_t = axes
+
+    def local(Z_loc, X_local):
+        _, pts1 = _local_window(Z_loc, ax_s)   # identity gather (size 1)
+        X_pad, pts2 = _local_window(X_local, ax_t)
+        M_block = pair_cross_fn(pts1, pts2)    # (N1, N2, lz, Lc)
+        M_local = jnp.transpose(M_block, (0, 2, 1, 3))
+        cross = _local_seq_cross_levels(
+            M_local, num_levels=num_levels, ax_s=ax_s, ax_t=ax_t
+        )
+        M_diag = diag_pair_fn(X_pad, pts2)     # (N2, L, Lc)
+        diag = _seq_diag_recursion(M_diag, num_levels, ax_t)
+        return cross, diag
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, ax_s, None), P(None, ax_t, None)),
+        out_specs=(P(), P()),
+    )(Z, X)
+
+
 def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
                                      num_levels: int, *,
                                      increments: bool, diag_pair_fn=None,
@@ -555,6 +585,72 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     return tuple(jnp.sum(o, axis=0) for o in out)
 
 
+def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
+                             axis: str = "seq",
+                             return_levels: bool = False):
+    """SP equivalent of ``SignatureKernel.K_seq_n_seq_covs`` (diag Kxx leg):
+    (Kzz_lvls, Kzx_lvls, Kxx_diag_lvls) for inducing *sequences* Z with the
+    data sequences X time-sharded.  Z is short (the reference's
+    ``len_inducing`` ~ 5-20, `inducing_variables.py:89-98`) and evaluates
+    locally; only X-sized work is distributed — the Kzx recursion carries
+    prefix states over X's chunks on an internal (1, C) time mesh built
+    from ``mesh``'s devices."""
+    from .. import config as cfg
+
+    _check_sp_kernel(kern)
+    cp = kern.constrain(params)
+    jitter = cfg.jitter()
+    Zs = kern._scale_sequences(cp, jnp.asarray(Z))
+    Xs = kern._scale_sequences(cp, X)
+    base_kern = kern._base_kern(cp)
+    N1, N2 = Zs.shape[0], Xs.shape[0]
+
+    from ..ops import gram as gram_ops
+
+    cross_fn, _ = gram_ops.increment_gram_fns(kern.base)
+    if cross_fn is not None:
+        pair_cross = functools.partial(
+            cross_fn, precision=lax.Precision.HIGHEST
+        )
+    else:
+        def pair_cross(Xa, Xb):
+            M = base_kern(Xa[:, None], Xb[None, :])
+            return (
+                M[..., 1:, 1:] + M[..., :-1, :-1]
+                - M[..., :-1, 1:] - M[..., 1:, :-1]
+            )
+
+    mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_zt", axis))
+    Kzx_lvls, Kxx_diag = seq_vs_seq_covs_from_sequences(
+        mesh2, Zs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
+        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
+        axes=("_zt", axis),
+    )
+
+    Kzz_lvls = kern._K_seq(cp, Zs)
+    sig_var = cp["sigma"] * cp["variances"]
+    if kern.normalization:
+        # mirrors `K_seq_n_seq_covs` (`kernels.py:848-879`): Z side gets
+        # the +jitter*I diagonal semantics, X side the diag+jitter rsqrt
+        Kzz_lvls = Kzz_lvls + jitter * jnp.eye(N1, dtype=Kzz_lvls.dtype)[None]
+        dz = jnp.sqrt(jnp.diagonal(Kzz_lvls, axis1=-2, axis2=-1))
+        Kzz_lvls = Kzz_lvls / (dz[:, :, None] * dz[:, None, :])
+        Kzx_lvls = Kzx_lvls / dz[:, :, None]
+        dx = jnp.sqrt(Kxx_diag + jitter)
+        Kzx_lvls = Kzx_lvls / dx[:, None, :]
+        Kxx_diag = jnp.tile(sig_var[:, None].astype(Kzx_lvls.dtype), (1, N2))
+    else:
+        Kxx_diag = kern._level_scale(cp, Kxx_diag)
+    out = (
+        kern._level_scale(cp, Kzz_lvls),
+        kern._level_scale(cp, Kzx_lvls),
+        Kxx_diag,
+    )
+    if return_levels:
+        return out
+    return tuple(jnp.sum(o, axis=0) for o in out)
+
+
 class SPInducingTensors:
     """Drop-in ``InducingTensors`` replacement whose fused covariance call
     runs the sequences-in sequence-parallel path — plugging long-L training
@@ -601,6 +697,60 @@ class SPInducingTensors:
         Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = kernel_tens_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
             increments=self.increments, axis=self.axis, return_levels=True,
+        )
+        if self.learn_weights:
+            Kzz = _mix_gram(ind_params["W"], Kzz_lvls)
+            Kzx = _mix_cross(ind_params["W"], Kzx_lvls)
+        else:
+            Kzz = jnp.sum(Kzz_lvls, axis=0)
+            Kzx = jnp.sum(Kzx_lvls, axis=0)
+        Kxx = jnp.sum(Kxx_diag_lvls, axis=0)
+        Kzz = Kzz + jitter * jnp.eye(len(self), dtype=Kzz.dtype)
+        return Kzz, Kzx, Kxx + jitter
+
+
+class SPInducingSequences:
+    """Drop-in ``InducingSequences`` replacement for long-L training: the
+    Kzx/Kff covariances run the sequences-in sequence-parallel path
+    (:func:`kernel_seq_n_seq_covs_sp`) while the short inducing sequences
+    evaluate locally.  Feed :class:`gpsig_tpu.models.SVGP` X sharded
+    ``P(None, axis, None)`` over ``mesh``."""
+
+    def __init__(self, Z, num_levels: int, mesh: Mesh, *,
+                 learn_weights: bool = False, axis: str = "seq"):
+        from ..inducing import InducingSequences
+
+        self._base = InducingSequences(
+            Z, num_levels, learn_weights=learn_weights
+        )
+        self.mesh = mesh
+        self.axis = axis
+        self.num_levels = self._base.num_levels
+        self.learn_weights = self._base.learn_weights
+        self.len_inducing = self._base.len_inducing
+
+    def __len__(self):
+        return len(self._base)
+
+    def init_params(self, dtype=None) -> dict:
+        return self._base.init_params(dtype=dtype)
+
+    def Kuu(self, ind_params, kern, kern_params, *, jitter=0.0, key=None):
+        return self._base.Kuu(
+            ind_params, kern, kern_params, jitter=jitter, key=key
+        )
+
+    def Kuu_Kuf_Kff(self, ind_params, kern, kern_params, X, *, jitter=0.0,
+                    full_f_cov: bool = False, key=None):
+        if full_f_cov:
+            raise NotImplementedError(
+                "full_f_cov under sequence parallelism"
+            )
+        from ..inducing import _mix_cross, _mix_gram
+
+        Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = kernel_seq_n_seq_covs_sp(
+            kern, kern_params, self.mesh, ind_params["Z"], X,
+            axis=self.axis, return_levels=True,
         )
         if self.learn_weights:
             Kzz = _mix_gram(ind_params["W"], Kzz_lvls)

@@ -305,6 +305,53 @@ class TestSequencesInSP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-8, atol=1e-10)
 
+    def test_seq_covs_sp_matches_fused_call(self):
+        from gpsig_tpu import kernels, utils as gp_utils
+        M_lvls, N, L, d, nZ, lz = 3, 5, 24, 2, 4, 6
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        Z = gp_utils.suggest_initial_inducing_sequences(X, nZ, lz, seed=0)
+        mesh = _seq_mesh()
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P(None, "seq", None)))
+        for norm in (True, False):
+            kern = kernels.SignatureRBF(d, M_lvls, normalization=norm)
+            p = kern.init_params()
+            out_sp = seq_parallel.kernel_seq_n_seq_covs_sp(
+                kern, p, mesh, jnp.asarray(Z), Xs
+            )
+            out_r = kern.K_seq_n_seq_covs(p, jnp.asarray(Z), jnp.asarray(X))
+            for a, b in zip(out_sp, out_r):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-8, atol=1e-10)
+
+    def test_svgp_inducing_sequences_sp_matches_single_device(self):
+        from gpsig_tpu import SVGP, InducingSequences, kernels, likelihoods
+        from gpsig_tpu import utils as gp_utils
+        M_lvls, N, L, d, nZ, lz = 2, 8, 32, 2, 5, 4
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        Z = gp_utils.suggest_initial_inducing_sequences(X, nZ, lz, seed=0)
+        kern = kernels.SignatureRBF(d, M_lvls)
+        lik = likelihoods.Bernoulli()
+        mesh = _seq_mesh()
+        ind_sp = seq_parallel.SPInducingSequences(Z, M_lvls, mesh)
+        ind_ref = InducingSequences(Z, M_lvls)
+        m_sp = SVGP(kern, ind_sp, lik, num_latent=1, num_data=N)
+        m_ref = SVGP(kern, ind_ref, lik, num_latent=1, num_data=N)
+        params = m_ref.init_params()
+        params["q_mu"] = jnp.asarray(RNG.randn(*params["q_mu"].shape))
+        Y = jnp.asarray(y[:, None])
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P(None, "seq", None)))
+        e_sp = float(jax.jit(m_sp.elbo)(params, Xs, Y))
+        e_ref = float(m_ref.elbo(params, jnp.asarray(X), Y))
+        np.testing.assert_allclose(e_sp, e_ref, rtol=1e-8)
+        g_sp = jax.grad(lambda p: m_sp.elbo(p, Xs, Y))(params)
+        g_ref = jax.grad(lambda p: m_ref.elbo(p, jnp.asarray(X), Y))(params)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+
     def test_svgp_elbo_sp_matches_single_device(self):
         from gpsig_tpu import SVGP, InducingTensors, kernels, likelihoods
         from gpsig_tpu import utils as gp_utils
