@@ -13,11 +13,17 @@ result is a global ``jax.Array`` sharded over ('data', 'model') that
 downstream per-block consumers (kernel-ridge solves, nearest-neighbour
 scans, further `shard_map` stages) can use without ever gathering.
 
-Normalization matches ``SignatureKernel.K`` exactly: per-level diagonals
-are computed per stripe inside the same ``shard_map`` (duplicated across
-the orthogonal mesh axis — O(N L^2) work vs the block's O(N^2 L^2)), and
-the symmetric case reproduces ``K()``'s ``+ jitter * I`` semantics
-(diagonal entries exactly 1 per level before the variance weighting).
+Normalization mirrors ``SignatureKernel.K``: per-level diagonals are
+computed per stripe inside the same ``shard_map`` (duplicated across the
+orthogonal mesh axis — O(N L^2) work vs the block's O(N^2 L^2)), and the
+symmetric case reproduces ``K()``'s ``+ jitter * I`` semantics (diagonal
+entries exactly 1 per level before the variance weighting).  Algebraically
+identical to ``K()``; note the symmetric case normalizes by
+``_K_seq_diag`` (the cancellation-free blocked path) where single-device
+``K()`` uses the diagonal of the full level stack, so on the TPU f32 fused
+path individual entries can differ from ``K()`` by small float noise
+(f64 agreement is ~1e-12; don't diff the two paths at tighter than ~1e-4
+in f32).
 """
 
 from __future__ import annotations

@@ -299,6 +299,33 @@ def make_pair_increment_fn(base: str, base_kern=None,
     return generic
 
 
+def make_pair_cross_fn(base: str, base_kern=None, precision=None):
+    """``f(Xa_pts, Xb_pts) -> (N1, N2, La-1, Lb-1)`` outer increment Grams
+    (the cross-example analogue of :func:`make_pair_increment_fn`): the
+    cancellation-free closed form when ``base`` has one, else second
+    differences of ``base_kern`` over broadcast example axes."""
+    from ..ops import gram as gram_ops
+
+    precision = precision or lax.Precision.HIGHEST
+    cross_fn, _ = gram_ops.increment_gram_fns(base)
+    if cross_fn is not None:
+        return functools.partial(cross_fn, precision=precision)
+    if base_kern is None:
+        raise ValueError(
+            f"base {base!r} has no closed-form increment Gram; pass "
+            "base_kern for the generic second-difference fallback"
+        )
+
+    def generic(Xa, Xb):
+        M = base_kern(Xa[:, None], Xb[None, :])  # (N1, N2, La, Lb)
+        return (
+            M[..., 1:, 1:] + M[..., :-1, :-1]
+            - M[..., :-1, 1:] - M[..., 1:, :-1]
+        )
+
+    return generic
+
+
 def _local_window(X_local, axis_name: str):
     """All-gather the time-sharded sequences and slice this device's
     (Lc+1)-point window (its Lc increments, incl. the bridge to the next
@@ -494,25 +521,13 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
     beyond one chip's HBM (each device only ever holds its
     (N1, L1/C1, N2, L2/C2) increment-Gram block)."""
     from .. import config as cfg
-    from ..ops import gram as gram_ops
 
     _check_sp_kernel(kern)
     cp = kern.constrain(params)
     jitter = cfg.jitter()
     Xs = kern._scale_sequences(cp, X)
     base_kern = kern._base_kern(cp)
-    cross_fn, _ = gram_ops.increment_gram_fns(kern.base)
-    if cross_fn is not None:
-        pair_cross = functools.partial(
-            cross_fn, precision=lax.Precision.HIGHEST
-        )
-    else:
-        def pair_cross(Xa, Xb):
-            M = base_kern(Xa[:, None], Xb[None, :])  # (N1, N2, La, Lb)
-            return (
-                M[..., 1:, 1:] + M[..., :-1, :-1]
-                - M[..., :-1, 1:] - M[..., 1:, :-1]
-            )
+    pair_cross = make_pair_cross_fn(kern.base, base_kern)
 
     symm = X2 is None
     X2s = Xs if symm else kern._scale_sequences(cp, X2)
@@ -605,21 +620,7 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     base_kern = kern._base_kern(cp)
     N1, N2 = Zs.shape[0], Xs.shape[0]
 
-    from ..ops import gram as gram_ops
-
-    cross_fn, _ = gram_ops.increment_gram_fns(kern.base)
-    if cross_fn is not None:
-        pair_cross = functools.partial(
-            cross_fn, precision=lax.Precision.HIGHEST
-        )
-    else:
-        def pair_cross(Xa, Xb):
-            M = base_kern(Xa[:, None], Xb[None, :])
-            return (
-                M[..., 1:, 1:] + M[..., :-1, :-1]
-                - M[..., :-1, 1:] - M[..., 1:, :-1]
-            )
-
+    pair_cross = make_pair_cross_fn(kern.base, base_kern)
     mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_zt", axis))
     Kzx_lvls, Kxx_diag = seq_vs_seq_covs_from_sequences(
         mesh2, Zs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
@@ -651,7 +652,56 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     return tuple(jnp.sum(o, axis=0) for o in out)
 
 
-class SPInducingTensors:
+class _SPInducing:
+    """Shared SP inducing-variable wrapper: metadata delegates to the
+    wrapped single-device object; ``Kuu_Kuf_Kff`` runs the subclass's SP
+    covariance call and applies the same learn_weights mixing / jitter
+    postlude as `gpsig_tpu/inducing.py`'s fused calls."""
+
+    def __init__(self, base, mesh: Mesh, axis: str):
+        self._base = base
+        self.mesh = mesh
+        self.axis = axis
+        self.num_levels = base.num_levels
+        self.learn_weights = base.learn_weights
+
+    def __len__(self):
+        return len(self._base)
+
+    def init_params(self, dtype=None) -> dict:
+        return self._base.init_params(dtype=dtype)
+
+    def Kuu(self, ind_params, kern, kern_params, *, jitter=0.0, key=None):
+        return self._base.Kuu(
+            ind_params, kern, kern_params, jitter=jitter, key=key
+        )
+
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+        raise NotImplementedError
+
+    def Kuu_Kuf_Kff(self, ind_params, kern, kern_params, X, *, jitter=0.0,
+                    full_f_cov: bool = False, key=None):
+        if full_f_cov:
+            raise NotImplementedError(
+                "full_f_cov under sequence parallelism"
+            )
+        from ..inducing import _mix_cross, _mix_gram
+
+        Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = self._sp_cov_levels(
+            ind_params, kern, kern_params, X
+        )
+        if self.learn_weights:
+            Kzz = _mix_gram(ind_params["W"], Kzz_lvls)
+            Kzx = _mix_cross(ind_params["W"], Kzx_lvls)
+        else:
+            Kzz = jnp.sum(Kzz_lvls, axis=0)
+            Kzx = jnp.sum(Kzx_lvls, axis=0)
+        Kxx = jnp.sum(Kxx_diag_lvls, axis=0)
+        Kzz = Kzz + jitter * jnp.eye(len(self), dtype=Kzz.dtype)
+        return Kzz, Kzx, Kxx + jitter
+
+
+class SPInducingTensors(_SPInducing):
     """Drop-in ``InducingTensors`` replacement whose fused covariance call
     runs the sequences-in sequence-parallel path — plugging long-L training
     into the unchanged :class:`gpsig_tpu.models.SVGP` (feed it X sharded
@@ -666,50 +716,21 @@ class SPInducingTensors:
                  axis: str = "seq"):
         from ..inducing import InducingTensors
 
-        self._base = InducingTensors(
-            Z, num_levels, increments=increments, learn_weights=learn_weights
+        super().__init__(
+            InducingTensors(Z, num_levels, increments=increments,
+                            learn_weights=learn_weights),
+            mesh, axis,
         )
-        self.mesh = mesh
-        self.axis = axis
-        self.num_levels = self._base.num_levels
         self.increments = self._base.increments
-        self.learn_weights = self._base.learn_weights
 
-    def __len__(self):
-        return len(self._base)
-
-    def init_params(self, dtype=None) -> dict:
-        return self._base.init_params(dtype=dtype)
-
-    def Kuu(self, ind_params, kern, kern_params, *, jitter=0.0, key=None):
-        return self._base.Kuu(
-            ind_params, kern, kern_params, jitter=jitter, key=key
-        )
-
-    def Kuu_Kuf_Kff(self, ind_params, kern, kern_params, X, *, jitter=0.0,
-                    full_f_cov: bool = False, key=None):
-        if full_f_cov:
-            raise NotImplementedError(
-                "full_f_cov under sequence parallelism"
-            )
-        from ..inducing import _mix_cross, _mix_gram
-
-        Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = kernel_tens_n_seq_covs_sp(
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+        return kernel_tens_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
             increments=self.increments, axis=self.axis, return_levels=True,
         )
-        if self.learn_weights:
-            Kzz = _mix_gram(ind_params["W"], Kzz_lvls)
-            Kzx = _mix_cross(ind_params["W"], Kzx_lvls)
-        else:
-            Kzz = jnp.sum(Kzz_lvls, axis=0)
-            Kzx = jnp.sum(Kzx_lvls, axis=0)
-        Kxx = jnp.sum(Kxx_diag_lvls, axis=0)
-        Kzz = Kzz + jitter * jnp.eye(len(self), dtype=Kzz.dtype)
-        return Kzz, Kzx, Kxx + jitter
 
 
-class SPInducingSequences:
+class SPInducingSequences(_SPInducing):
     """Drop-in ``InducingSequences`` replacement for long-L training: the
     Kzx/Kff covariances run the sequences-in sequence-parallel path
     (:func:`kernel_seq_n_seq_covs_sp`) while the short inducing sequences
@@ -720,44 +741,14 @@ class SPInducingSequences:
                  learn_weights: bool = False, axis: str = "seq"):
         from ..inducing import InducingSequences
 
-        self._base = InducingSequences(
-            Z, num_levels, learn_weights=learn_weights
+        super().__init__(
+            InducingSequences(Z, num_levels, learn_weights=learn_weights),
+            mesh, axis,
         )
-        self.mesh = mesh
-        self.axis = axis
-        self.num_levels = self._base.num_levels
-        self.learn_weights = self._base.learn_weights
         self.len_inducing = self._base.len_inducing
 
-    def __len__(self):
-        return len(self._base)
-
-    def init_params(self, dtype=None) -> dict:
-        return self._base.init_params(dtype=dtype)
-
-    def Kuu(self, ind_params, kern, kern_params, *, jitter=0.0, key=None):
-        return self._base.Kuu(
-            ind_params, kern, kern_params, jitter=jitter, key=key
-        )
-
-    def Kuu_Kuf_Kff(self, ind_params, kern, kern_params, X, *, jitter=0.0,
-                    full_f_cov: bool = False, key=None):
-        if full_f_cov:
-            raise NotImplementedError(
-                "full_f_cov under sequence parallelism"
-            )
-        from ..inducing import _mix_cross, _mix_gram
-
-        Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = kernel_seq_n_seq_covs_sp(
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+        return kernel_seq_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
             axis=self.axis, return_levels=True,
         )
-        if self.learn_weights:
-            Kzz = _mix_gram(ind_params["W"], Kzz_lvls)
-            Kzx = _mix_cross(ind_params["W"], Kzx_lvls)
-        else:
-            Kzz = jnp.sum(Kzz_lvls, axis=0)
-            Kzx = jnp.sum(Kzx_lvls, axis=0)
-        Kxx = jnp.sum(Kxx_diag_lvls, axis=0)
-        Kzz = Kzz + jitter * jnp.eye(len(self), dtype=Kzz.dtype)
-        return Kzz, Kzx, Kxx + jitter
