@@ -177,3 +177,25 @@ class TestDistributedGram:
         with pytest.raises(NotImplementedError, match="low-rank"):
             parallel.kernel_K_dp(kern, kern.init_params(),
                                  parallel.make_mesh(8), X)
+
+    def test_no_device_holds_full_gram(self):
+        """Static jaxpr proof: inside the shard_map body every intermediate
+        is tile-sized — the (N, N) Gram never exists on one device."""
+        from tests.test_seq_parallel import _max_intermediate_size
+
+        N, L = 32, 6
+        X = jnp.asarray(np.random.RandomState(0).randn(N, L, 2))
+        mesh = parallel.make_mesh(8)  # 4 x 2 -> (8, 16) tiles
+        kern = kernels.SignatureRBF(2, 2)
+        p = kern.init_params()
+
+        def fn(x):
+            return parallel.kernel_K_dp(kern, p, mesh, x)
+
+        max_size = _max_intermediate_size(fn, X)
+        # the largest per-device object is the tile's (n1b*L, n2b*L) base
+        # Gram from _K_seq, far below the full (N*L, N*L) one
+        full = (N * L) ** 2
+        tile = (N // 4 * L) * (N // 2 * L)
+        assert max_size <= tile, (max_size, tile)
+        assert max_size < full / 4
