@@ -111,6 +111,17 @@ def main():
             print(f"  SP ELBO step {it}: loss {float(loss):.4f}")
     print("long-L SVGP training over the time mesh: OK")
 
+    # ---- same thing with inducing SEQUENCES ----------------------------
+    Zs = gp_utils.suggest_initial_inducing_sequences(X, 8, 6, seed=0)
+    ind_seq = seq_parallel.SPInducingSequences(Zs, 3, seq_mesh)
+    model_seq = SVGP(kern, ind_seq, likelihoods.Bernoulli(), num_latent=1,
+                     num_data=N)
+    mp2 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
+                       model_seq.init_params())
+    loss_seq = float(jax.jit(model_seq.loss)(mp2, X_sh, Y))
+    print(f"SPInducingSequences ELBO at init: {-loss_seq:.4f} "
+          "(short Z local, Kzx carried over the time chunks)")
+
 
 if __name__ == "__main__":
     main()
