@@ -304,6 +304,23 @@ def bench_selftest():
         failures.append(("wide-d inducing finiteness", float("nan"), 0.0))
         print("  wide-d (963) inducing finiteness                        FAIL")
 
+    # distributed-Gram path on a single-chip (1, 1) mesh: the per-device
+    # fused dispatch runs INSIDE shard_map — the exact deployment shape of
+    # parallel.kernel_K_dp on real hardware (Mosaic under GSPMD)
+    from jax.sharding import Mesh
+
+    from gpsig_tpu import parallel
+
+    mesh11 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                  ("data", "model"))
+    k_dp = kernels.SignatureRBF(d, M)
+    p_dp = k_dp.init_params()
+    K_dp = jax.jit(
+        lambda x: parallel.kernel_K_dp(k_dp, p_dp, mesh11, x)
+    )(X)
+    K_1d = jax.jit(lambda x: k_dp.K(p_dp, x))(X)
+    check("kernel_K_dp (shard_map+fused) vs K", K_dp, K_1d, 5e-4)
+
     if failures:
         print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")
         raise SystemExit(1)
