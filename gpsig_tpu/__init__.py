@@ -17,4 +17,4 @@ from .models import SVGP  # noqa: F401
 
 # datasets is imported lazily by callers (pulls scipy only when used)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
