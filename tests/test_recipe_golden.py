@@ -75,6 +75,15 @@ def _run(tmp_path, variant):
         return train_gpkconv1d_classifier(
             "SyntheticLibras", num_inducing=12,
             **{k: v for k, v in common.items() if k != "num_lags"})
+    if variant == "gprnn_gru":
+        from benchmarks.models import train_gprnn_classifier
+
+        write_mat(str(tmp_path / "SyntheticLibras.mat"), num_classes=3,
+                  per_class_train=8, per_class_test=4, length=16, seed=0)
+        return train_gprnn_classifier(
+            "SyntheticLibras", num_inducing=12, num_hidden=8,
+            rnn_type="gru", dropout=0.25,
+            **{k: v for k, v in common.items() if k != "num_lags"})
     raise ValueError(variant)
 
 
@@ -84,6 +93,7 @@ def _run(tmp_path, variant):
     "multiclass_sequences",    # InducingSequences features
     "gpsigrnn_lstm_dropout",   # RNN hybrid with the dropout path ON
     "gpkconv1d",               # the 1-D conv-kernel baseline family
+    "gprnn_gru",               # GRU -> vector-RBF SVGP baseline, dropout ON
 ])
 def test_gpsig_recipe_matches_goldens(tmp_path, variant):
     golden = _golden()[variant]
