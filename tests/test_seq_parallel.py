@@ -385,6 +385,46 @@ class TestSequencesInSP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-9)
 
+    def test_gpsigrnn_hybrid_over_sp(self):
+        """GPSigRNN at long L: the RNN encoder's (N, L, H) hidden states
+        flow into the time-sharded SP SVGP — GSPMD reshards the encoder
+        output onto the ('seq',) mesh; loss matches the single-device
+        hybrid and gradients flow through encoder + SP covariances."""
+        from gpsig_tpu import SVGP, InducingTensors, kernels, likelihoods
+        from gpsig_tpu import utils as gp_utils
+        from gpsig_tpu.models import EncoderSVGP, MaskedRNN
+
+        N, L, d, H, M_lvls = 4, 16, 2, 3, 2
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        enc = MaskedRNN(hidden_dim=H, cell_type="lstm",
+                        return_sequences=True)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(X))
+        feats = np.asarray(enc.apply(v, jnp.asarray(X)))
+        Z = gp_utils.suggest_initial_inducing_tensors(
+            feats, M_lvls, 4, increments=True, seed=0)
+        mesh = _seq_mesh()
+        kern = kernels.SignatureRBF(H, M_lvls)
+        ind_sp = seq_parallel.SPInducingTensors(Z, M_lvls, mesh,
+                                                increments=True)
+        ind_1d = InducingTensors(Z, M_lvls, increments=True)
+        m_sp = EncoderSVGP(enc, SVGP(kern, ind_sp, likelihoods.Bernoulli(),
+                                     num_latent=1, num_data=N))
+        m_1d = EncoderSVGP(enc, SVGP(kern, ind_1d, likelihoods.Bernoulli(),
+                                     num_latent=1, num_data=N))
+        p = m_1d.init_params(jax.random.PRNGKey(1), X[:2])
+        p["svgp"]["q_mu"] = jnp.asarray(RNG.randn(*p["svgp"]["q_mu"].shape))
+        Xj, Yj = jnp.asarray(X), jnp.asarray(y[:, None])
+        l_sp = float(jax.jit(m_sp.loss)(p, Xj, Yj))
+        l_1d = float(m_1d.loss(p, Xj, Yj))
+        np.testing.assert_allclose(l_sp, l_1d, rtol=1e-8)
+        g = jax.grad(m_sp.loss)(p, Xj, Yj)
+        assert all(np.all(np.isfinite(np.asarray(x)))
+                   for x in jax.tree.leaves(g))
+        # encoder gradients actually flow through the SP covariances
+        assert max(float(jnp.max(jnp.abs(x)))
+                   for x in jax.tree.leaves(g["enc"])) > 0
+
     def test_no_device_holds_more_than_its_stripe(self):
         """Static proof from the jaxpr: inside the shard_map body every
         intermediate is stripe-sized — the (N, L, L) Gram never exists."""
