@@ -11,7 +11,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gpsig_tpu import SVGP, datasets, likelihoods, vector_kernels
+from gpsig_tpu import (
+    SVGP, datasets, likelihoods, utils as gp_utils, vector_kernels,
+)
 from gpsig_tpu.models import EncoderSVGP, MaskedRNN
 
 from .train_gpsigrnn import _run_phases
@@ -47,13 +49,24 @@ def train_gprnn_classifier(
                         recurrent_dropout=recurrent_dropout)
     key = jax.random.PRNGKey(seed)
     enc_vars = encoder.init(key, jnp.asarray(X_train[:2], dtype))
-    feats = np.asarray(
-        encoder.apply(enc_vars, jnp.asarray(X_train[:max(num_inducing, 256)],
-                                            dtype))
-    )
 
-    kern = vector_kernels.VectorKernel(num_hidden, base="rbf")
-    ind = vector_kernels.InducingPoints(feats[:num_inducing])
+    # inducing points = RNN images of RANDOM examples + 0.4*N(0,1) jitter,
+    # lengthscales from a feature sample (`train_gprnn.py:99-106`).  The
+    # jitter is load-bearing: without it, same-class examples give
+    # near-duplicate rows and the f32 Kzz Cholesky degenerates to NaN.
+    rng0 = np.random.RandomState(seed)
+    sel = rng0.choice(num_train, size=num_inducing)
+    Z0 = np.asarray(encoder.apply(enc_vars, jnp.asarray(X_train[sel], dtype)))
+    Z0 = Z0 + 0.4 * rng0.randn(*Z0.shape)
+    sample = rng0.choice(num_train, size=min(1000, num_train), replace=False)
+    feats = np.asarray(
+        encoder.apply(enc_vars, jnp.asarray(X_train[sample], dtype))
+    )
+    kern = vector_kernels.VectorKernel(
+        num_hidden, base="rbf",
+        lengthscales=gp_utils.suggest_initial_lengthscales(feats),
+    )
+    ind = vector_kernels.InducingPoints(Z0)
 
     if num_classes == 2:
         lik, num_latent = likelihoods.Bernoulli(), 1

@@ -54,12 +54,11 @@ def main():
                     epochs_cap=args.epochs_cap, seed=0,
                 )
                 scores[(H, D)] = res["val_nlpp"]
-        # reference's selection rule (`process_gridsearch.ipynb` cell 7):
-        # smallest architecture within 10% of the best validation nlpp
-        best_nlpp = min(scores.values())
-        best_H, best_D = min(
-            hd for hd, v in scores.items() if v <= 1.1 * best_nlpp
-        )
+        # reference's selection rule, shared with the reporting script so
+        # the report can never contradict the harness
+        from benchmarks.process_gridsearch import select
+
+        best_H, best_D = select(scores)
         arch.setdefault(name, {})[f"gpsig{args.rnn_type}"] = {
             "num_hidden": best_H, "dropout": best_D,
         }

@@ -45,8 +45,11 @@ from gpsig_tpu.parallel import seq_parallel
 
 
 def main():
-    devices = np.asarray(jax.devices("cpu")[:8])
-    C = len(devices)
+    avail = jax.devices("cpu")
+    # largest power of two <= available: the demo's L (256) then always
+    # divides evenly into the time chunks
+    C = 1 << (len(avail[:8]).bit_length() - 1)
+    devices = np.asarray(avail[:C])
     print(f"time mesh over {C} devices")
 
     # long sequences sharded across the time mesh (sized for the CPU-mesh
@@ -76,7 +79,11 @@ def main():
     print("SP Kdiag (unnormalized):", np.asarray(diag[:4]).round(4), "...")
 
     # full normalized Gram with BOTH time axes chunked on a 2-D time mesh
-    mesh2 = Mesh(devices.reshape(2, 4), ("seq1", "seq2"))
+    # adapt the 2-D time mesh to however many devices actually exist
+    # (a pre-set host_platform_device_count or pre-initialized backend can
+    # leave fewer than 8)
+    rows = 2 if C % 2 == 0 and C >= 4 else 1
+    mesh2 = Mesh(devices.reshape(rows, C // rows), ("seq1", "seq2"))
     Xa = jax.device_put(
         jnp.asarray(X), NamedSharding(mesh2, P(None, "seq1", None))
     )

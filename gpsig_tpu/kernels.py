@@ -375,21 +375,38 @@ class SignatureKernel:
         return sig_ops.tensor_kern(M, self.num_levels)
 
     def _K_tens_vs_seq(self, cp: dict, Z, X, increments: bool):
-        if self.order == 1 and self._fused_tens_ok():
-            from .ops import inducing_pallas as ind_pallas
+        if self._fused_tens_ok():
+            if self.order != 1:
+                # the fused Kzx kernel is order-1 only; honor the knob's
+                # no-silent-fallback contract
+                if self.fused == "on":
+                    raise ValueError(
+                        "fused='on' but the fused Kzx kernel supports "
+                        f"order=1 only (this kernel has order={self.order});"
+                        " use fused='auto' to fall back to the XLA path"
+                    )
+            else:
+                return self._fused_or_xla_tens_vs_seq(cp, Z, X, increments)
+        return self._xla_tens_vs_seq(cp, Z, X, increments)
 
-            if self._fused_shape_guard(
-                ind_pallas.fused_tens_shapes_ok(
-                    Z.shape[0], Z.shape[1], Z.shape[-1], self.num_levels,
-                    self.base, L=X.shape[1],
-                ),
-                "Kzx",
-            ):
-                return ind_pallas.fused_tens_vs_seq_levels(
-                    Z, X, num_levels=self.num_levels, base=self.base,
-                    increments=increments, difference=self.difference,
-                    fast_math=self.fast_math,
-                )
+    def _fused_or_xla_tens_vs_seq(self, cp: dict, Z, X, increments: bool):
+        from .ops import inducing_pallas as ind_pallas
+
+        if self._fused_shape_guard(
+            ind_pallas.fused_tens_shapes_ok(
+                Z.shape[0], Z.shape[1], Z.shape[-1], self.num_levels,
+                self.base, L=X.shape[1],
+            ),
+            "Kzx",
+        ):
+            return ind_pallas.fused_tens_vs_seq_levels(
+                Z, X, num_levels=self.num_levels, base=self.base,
+                increments=increments, difference=self.difference,
+                fast_math=self.fast_math,
+            )
+        return self._xla_tens_vs_seq(cp, Z, X, increments)
+
+    def _xla_tens_vs_seq(self, cp: dict, Z, X, increments: bool):
         kern = self._base_kern(cp)
         len_tensors, n_Z = Z.shape[0], Z.shape[1]
         d = Z.shape[-1]

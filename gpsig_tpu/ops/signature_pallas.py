@@ -63,15 +63,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gram import exp_accurate
 
-# unroll factor of the per-row-example loop inside the kernels (see
-# _kernel_fwd).  Measured on-chip (v5e, round 3): unrolling independent
-# row recursions does NOT help (rolled 1.711s, x2 1.803s, x4 1.721s at the
-# headline scale) — the hardware/scheduler doesn't overlap one row's VPU
-# work with another's MXU matmuls here — and full unroll (x8) faults the
-# TPU worker (instruction-memory blowup).  Kept at 1.
-_UNROLL_ROWS = 1
-
-
 def _expm1(x):
     """exp(x) - 1 with a Taylor branch for small |x| (Mosaic's exp is only
     ~4e-6-accurate; the Taylor branch keeps the error *relative* to x).
@@ -458,19 +449,12 @@ def _kernel_fwd(xi_ref, dxi_ref, xj_ref, dxj_ref, out_ref, *, BI: int,
             out_ref[:, a, :] = jnp.where(first, placed, prev + placed)
             return carry
 
-        # partial unroll: the per-row recursions are independent DAGs, so
-        # interleaving k of them per loop iteration lets the VLIW scheduler
-        # overlap one row's VPU work (increment Gram, split3 conversions,
-        # multiplies) with another row's MXU matmuls — each chain alone is
-        # serial and stalls whichever unit the current op doesn't use
-        k = _UNROLL_ROWS if BI % _UNROLL_ROWS == 0 else 1
-
-        def row_group(g, carry):
-            for u in range(k):
-                pair_row(g * k + u, None)
-            return carry
-
-        lax.fori_loop(0, BI // k, row_group, None)
+        # one rolled loop over the row examples.  Partial unrolling was
+        # measured on-chip (v5e, round 3) and does NOT help: rolled 1.711s,
+        # x2 1.803s, x4 1.721s at the headline scale — the scheduler won't
+        # overlap one row's VPU work with another's MXU matmuls here — and
+        # x8 faults the TPU worker (instruction-memory blowup).
+        lax.fori_loop(0, BI, pair_row, None)
 
     if symmetric:
         # upper-triangular cells only (requires BI == BJ); the public

@@ -129,10 +129,9 @@ def _seq_diag_recursion(M_local, num_levels: int, axis_name: str):
     return jnp.stack(K, axis=0)
 
 
-def _local_seq_diag_levels(M_local, num_levels: int, axis_name: str,
-                           difference: bool):
+def _local_seq_diag_levels(M_local, num_levels: int, axis_name: str):
     """Per-device slice of the seq-diag recursion over a pre-materialized
-    Gram stripe (see :func:`_seq_diag_recursion`)."""
+    *increment* Gram stripe (see :func:`_seq_diag_recursion`)."""
     return _seq_diag_recursion(M_local, num_levels, axis_name)
 
 
@@ -148,7 +147,6 @@ def seq_diag_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
     fn = shard_map(
         functools.partial(
             _local_seq_diag_levels, num_levels=num_levels, axis_name=axis,
-            difference=True,
         ),
         mesh=mesh,
         in_specs=P(None, None, axis),

@@ -141,3 +141,15 @@ def test_fused_tens_shape_guard():
     p2 = k2.constrain(k2.init_params())
     out = k2._K_tens_vs_seq(p2, jnp.zeros((3, 4, 2, 963)), X[:2, :6], True)
     assert out.shape == (3, 4, 2)
+    # order>1 Kzx has no fused kernel: fused='on' errors (never a silent
+    # XLA detour), fused='auto' computes via the XLA graph
+    k3 = kernels.SignatureRBF(3, 3, order=2, fused="on")
+    k3._fused_supported = lambda: True
+    p3 = k3.constrain(k3.init_params())
+    Z3, X3 = jnp.zeros((6, 4, 2, 3)), jnp.zeros((2, 10, 3))
+    with pytest.raises(ValueError, match="order=1 only"):
+        k3._K_tens_vs_seq(p3, Z3, X3, True)
+    k4 = kernels.SignatureRBF(3, 3, order=2)
+    k4._fused_supported = lambda: True
+    out4 = k4._K_tens_vs_seq(k4.constrain(k4.init_params()), Z3, X3, True)
+    assert out4.shape == (4, 4, 2)  # (levels, n_Z, N)
