@@ -321,6 +321,41 @@ def bench_selftest():
     K_1d = jax.jit(lambda x: k_dp.K(p_dp, x))(X)
     check("kernel_K_dp (shard_map+fused) vs K", K_dp, K_1d, 5e-4)
 
+    # serving lane: bucket-padded AOT predictor + jax.export artifact, both
+    # running the fused covariance path on the chip; batch/time padding must
+    # be inert (row independence + zero-increment repeat padding)
+    from gpsig_tpu import likelihoods, serving
+    from gpsig_tpu.inducing import InducingTensors
+    from gpsig_tpu.models import SVGP
+
+    C = 3
+    model = SVGP(
+        kernels.SignatureRBF(d, M),
+        InducingTensors(np.asarray(Z), M, increments=True),
+        likelihoods.MultiClass(C), num_latent=C, num_data=N,
+    )
+    mp = model.init_params(jax.random.PRNGKey(0))
+    mp["q_mu"] = jnp.asarray(rng.randn(Z.shape[1], C).astype(np.float32))
+    ref_mean, ref_var = jax.jit(lambda q, x: model.predict_y(q, x))(
+        mp, X[:5]
+    )
+    pred = serving.Predictor(model, mp, max_len=L, batch_buckets=(8,),
+                             dtype=jnp.float32)
+    s_mean, s_var = pred.predict_y(np.asarray(X[:5]))
+    check("serving Predictor (batch 5->8 pad) mean", jnp.asarray(s_mean),
+          ref_mean, 5e-4)
+    check("serving Predictor (batch 5->8 pad) var", jnp.asarray(s_var),
+          ref_var, 5e-4)
+    exp = serving.export_predict(model, mp, batch_size=8, seq_len=L,
+                                 num_features=d, dtype=jnp.float32)
+    # roundtrip through bytes (not disk) before calling
+    from jax import export as jax_export
+    re_exp = jax_export.deserialize(bytearray(bytes(exp.serialize())))
+    Xp8 = jnp.asarray(serving._pad_batch(
+        np.asarray(X[:5], dtype=np.float32), 8, L))
+    e_mean, _ = re_exp.call(mp, Xp8)
+    check("serving exported artifact mean", e_mean[:5], ref_mean, 5e-4)
+
     if failures:
         print(f"SELFTEST FAILED: {len(failures)} checks out of tolerance")
         raise SystemExit(1)

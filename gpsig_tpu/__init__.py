@@ -9,7 +9,7 @@ Pallas Gram kernels, pjit/shard_map scale-out, optax training.
 from . import config, params  # noqa: F401
 from . import ops  # noqa: F401
 from . import kernels, likelihoods, linalg, inducing, training  # noqa: F401
-from . import checkpoint, kconv, mean_functions, metrics, profiling, vector_kernels  # noqa: F401
+from . import checkpoint, kconv, mean_functions, metrics, profiling, serving, vector_kernels  # noqa: F401
 from . import preprocessing, utils  # noqa: F401
 from . import models, parallel  # noqa: F401
 from .inducing import InducingSequences, InducingTensors  # noqa: F401

@@ -101,9 +101,16 @@ def kernel_K_dp(kern, params, mesh: Mesh, X, X2=None, *,
 
     out_spec = (P(None, axes[0], axes[1]) if return_levels
                 else P(axes[0], axes[1]))
+    # check_vma=False: the per-device block dispatches into pallas_call on
+    # TPU (the fused Gram path), and jax>=0.9's varying-manifest check
+    # rejects pallas_call bodies under shard_map ("vma on ShapeDtypeStruct
+    # must not be None"; jax's own guidance is check_vma=False).  The body
+    # is collective-free, so the check buys nothing here.  Pinned by
+    # tests/test_gram_parallel_pallas.py and the bench.py --selftest lane.
     Kp = shard_map(
         block, mesh=mesh,
         in_specs=(P(axes[0], None, None), P(axes[1], None, None)),
         out_specs=out_spec,
+        check_vma=False,
     )(Xp, X2p)
     return Kp[..., :N1, :N2]
