@@ -441,8 +441,8 @@ def main():
         # accuracy at half the cost of HIGHEST; single-pass bf16 is ~1.6x
         # faster still but its 0.4% R-rounding explodes to ~0.65 max error
         # under per-level normalization at ill-conditioned entries)
-        return kern.K_blocked(params, x, block_size=8, method="pallas",
-                              fast_math="high")
+        return kern.K_blocked(params, x, block_size=args.block_size,
+                              method="pallas", fast_math="high")
 
     entries_per_sec = timed(fast, X, N * N, reps)
 

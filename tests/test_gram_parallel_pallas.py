@@ -24,10 +24,14 @@ from gpsig_tpu.parallel import gram_parallel
 RNG = np.random.RandomState(3)
 
 
-class _PallasWrappedRBF(kernels.SignatureRBF):
-    """SignatureRBF whose seq-Gram levels pass through an interpret-mode
-    pallas identity — a stand-in for the fused TPU dispatch inside the
-    distributed-Gram block function."""
+class _PallasWrappedRBF(kernels.SignatureKernel):
+    """rbf-based SignatureKernel whose seq-Gram levels pass through an
+    interpret-mode pallas identity — a stand-in for the fused TPU dispatch
+    inside the distributed-Gram block function.  (`kernels.SignatureRBF` is a
+    factory *function*, so we subclass the class it wraps.)"""
+
+    def __init__(self, num_features, num_levels):
+        super().__init__(num_features, num_levels, base="rbf")
 
     def _K_seq(self, cp, X, X2=None):
         lv = super()._K_seq(cp, X, X2)
