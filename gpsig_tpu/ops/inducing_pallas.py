@@ -304,12 +304,16 @@ def _tens_fwd_call(Vl, Dl, Vr, Dr, *, nb: int, BN: int, num_levels: int,
     )(Vl, Dl, Vr, Dr)
 
 
-_FUSED_TENS_BUDGET = 64 * 1024 * 1024  # VMEM headroom (no CompilerParams
-# override here: stay well under Mosaic's default scoped limit)
+_FUSED_TENS_BUDGET = 64 * 1024 * 1024  # total VMEM headroom for the
+# resident arrays + working set.  The Kzz kernel's scoped set is a few MB
+# and rides Mosaic's default scoped limit; the lane-batched Kzx kernels
+# override it via CompilerParams (see `_zx_compiler_params`) because the
+# (BN, x_block*Lp) recursion chain exceeds the 16 MB default at useful
+# widths while fitting the chip's 128 MB VMEM comfortably.
 
 
 def fused_tens_shapes_ok(lt: int, nZ: int, d: int, num_levels: int,
-                         base: str = "rbf", L=None) -> bool:
+                         base: str = "rbf", L=None, x_block: int = 1) -> bool:
     """Whether the fused inducing kernels' VMEM working set fits at these
     shapes.  Both kernels keep the full (lt, d2, nZp) value/difference
     arrays VMEM-resident (constant-index in_specs), so the set scales with
@@ -320,8 +324,12 @@ def fused_tens_shapes_ok(lt: int, nZ: int, d: int, num_levels: int,
 
     L=None sizes the Kzz kernel (4 resident arrays + (BN, BN) recursion
     tiles); L set sizes the Kzx kernel (2 resident arrays + pipelined
-    (d2, Lp) example blocks + the VMEM gz-accumulation slab + the
-    (BN, Lp) recursion chain kept live for the backward sweep)."""
+    (d2, W=x_block*Lp) lane-concatenated example blocks + the VMEM
+    gz-accumulation slab + the (BN, W) recursion chain kept live for the
+    backward sweep).  ``x_block`` is the lane-batch width the caller will
+    run; feasibility is always judged at the narrowest fallback
+    (x_block=1) so the dispatch contract stays "fits at SOME width" —
+    `pick_x_block` chooses the widest width that fits."""
     from .signature_pallas import _MAX_FUSED_FEATURES
 
     d2 = d + (0 if base == "linear" else 2)
@@ -333,14 +341,57 @@ def fused_tens_shapes_ok(lt: int, nZ: int, d: int, num_levels: int,
         resident = 4 * lt * d2 * nZp * 4
         work = (4 + 2 * num_levels) * BN * BN * 4
     else:
-        Lp = max(128, -(-L // 128) * 128)
-        resident = 2 * lt * d2 * nZp * 4
-        work = (
-            2 * 2 * 2 * d2 * Lp * 4        # double-buffered xv/xd blocks
-            + 2 * 2 * lt * d2 * BN * 4     # gz slab + per-slot grad blocks
-            + (4 + 3 * num_levels) * BN * Lp * 4  # recursion chain tiles
-        )
+        resident, work = _zx_vmem_model(lt, nZ, d2, num_levels, L, x_block)
     return resident + work <= _FUSED_TENS_BUDGET
+
+
+def _zx_vmem_model(lt, nZ, d2, num_levels, L, x_block):
+    BN = 128
+    nZp = -(-nZ // BN) * BN
+    Lp = max(128, -(-L // 128) * 128)
+    W = x_block * Lp
+    resident = 2 * lt * d2 * nZp * 4
+    work = (
+        2 * 2 * 2 * d2 * W * 4         # double-buffered xv/xd lane blocks
+        + 2 * 2 * lt * d2 * BN * 4     # gz slab + per-slot grad blocks
+        + (4 + 3 * num_levels) * BN * W * 4  # recursion chain tiles
+        + 2 * x_block * W * 4          # segment indicator/expansion masks
+    )
+    return resident, work
+
+
+def _zx_compiler_params(lt, nZp, d2, num_levels, L_true, BX, interpret):
+    """Scoped-VMEM override for the Kzx kernels.  Mosaic's default scoped
+    limit (16 MB on v5e) is below the lane-batched backward kernel's
+    recursion-chain working set at x_block>2; the chip has 128 MB of VMEM,
+    so grant the working set whatever the resident/pipelined buffers leave
+    (capped at 100 MB, mirroring `signature_pallas._pick_blocks`)."""
+    if interpret:
+        return None
+    from .signature_pallas import _TOTAL_VMEM
+
+    resident, work = _zx_vmem_model(lt, nZp, d2, num_levels, L_true, BX)
+    limit = min(100 * 1024 * 1024, _TOTAL_VMEM - resident)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(limit, work + (1 << 20))
+    )
+
+
+def pick_x_block(lt: int, nZ: int, d: int, num_levels: int,
+                 base: str = "rbf", *, L: int, max_block: int = 8) -> int:
+    """Widest lane-batch width (examples per Kzx grid cell) whose VMEM
+    working set fits the budget.  The fwd/bwd kernels lane-concatenate
+    ``x_block`` examples' time axes into one (BN, x_block*Lp) MXU tile
+    (VERDICT r3 item 2 — the per-example sweep left the MXU at ~1/3 of
+    f32 peak); wider is faster until the recursion chain spills."""
+    d2 = d + (0 if base == "linear" else 2)
+    bx = max(1, int(max_block))
+    while bx > 1:
+        resident, work = _zx_vmem_model(lt, nZ, d2, num_levels, L, bx)
+        if resident + work <= _FUSED_TENS_BUDGET:
+            return bx
+        bx //= 2
+    return 1
 
 
 def fused_tensor_levels(Z, *, num_levels: int, base: str = "rbf",
@@ -529,20 +580,32 @@ def _slot_gram_zx_bwd(vl, dl, xv, xd, Mbar, base, increments, difference,
 
 
 def _kernel_zx_fwd(vl_ref, dl_ref, xv_ref, xd_ref, out_ref, *, BN: int,
-                   Lp: int, L_true: int, num_levels: int, base: str,
+                   BX: int, Lp: int, L_true: int, num_levels: int, base: str,
                    increments: bool, difference: bool, precision):
     i = pl.program_id(0)
-    cum_rows, cum_lanes = _make_cumsums(precision)
+    W = BX * Lp
+    _, cum_lanes = _make_cumsums(precision, seg=Lp)
     if difference:
         tail_mask = None
     else:
-        cl = lax.broadcasted_iota(jnp.int32, (BN, Lp), 1)
+        cl = lax.broadcasted_iota(jnp.int32, (BN, W), 1) % Lp
         tail_mask = (cl < L_true).astype(f32)
 
-    xv = xv_ref[:]
+    # per-example level-sum reduction: (BN, W) -> (BX, BN) in one matmul
+    srow = lax.broadcasted_iota(jnp.int32, (BX, W), 0)
+    scol = lax.broadcasted_iota(jnp.int32, (BX, W), 1)
+    seg_ind = (scol // Lp == srow).astype(f32)
+
+    def seg_sum(R):
+        return lax.dot_general(
+            seg_ind, R, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+        )  # (BX, BN)
+
+    xv = xv_ref[:]  # (d2, W)
     xd = xd_ref[:]
 
-    cols = [jnp.full((BN, 1), 1.0, f32)]  # level 0
+    out_ref[0] = jnp.ones((BX, BN), f32)
     k = 0
     for m in range(1, num_levels + 1):
         R = None
@@ -553,34 +616,41 @@ def _kernel_zx_fwd(vl_ref, dl_ref, xv_ref, xd_ref, out_ref, *, BN: int,
                                difference, tail_mask)
             R = Mk if R is None else Mk * cum_lanes(R)
             k += 1
-        cols.append(jnp.sum(R, axis=1, keepdims=True))
-    out_ref[0] = jnp.concatenate(cols, axis=1)  # (BN, M+1)
+        out_ref[m] = seg_sum(R)
 
 
 def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
-                   gxd_ref, *, BN: int, Lp: int, L_true: int, lt: int,
-                   num_levels: int, base: str, increments: bool,
+                   gxd_ref, *, BN: int, BX: int, Lp: int, L_true: int,
+                   lt: int, num_levels: int, base: str, increments: bool,
                    difference: bool, precision):
-    """gz accumulates across the (inner) example sweep in VMEM — its block
-    index ignores n, so the slab is written back to HBM once per z-block
-    instead of once per (z-block, example) cell."""
+    """gz accumulates across the (inner) example-block sweep in VMEM."""
     i = pl.program_id(0)
     n_id = pl.program_id(1)
-    cum_rows, cum_lanes = _make_cumsums(precision)
+    W = BX * Lp
+    _, cum_lanes = _make_cumsums(precision, seg=Lp)
     if difference:
         tail_mask = None
     else:
-        cl = lax.broadcasted_iota(jnp.int32, (BN, Lp), 1)
+        cl = lax.broadcasted_iota(jnp.int32, (BN, W), 1) % Lp
         tail_mask = (cl < L_true).astype(f32)
+
+    erow = lax.broadcasted_iota(jnp.int32, (BX, W), 0)
+    ecol = lax.broadcasted_iota(jnp.int32, (BX, W), 1)
+    seg_expand = (ecol // Lp == erow).astype(f32)
+
+    def expand(g):  # (BX, BN) -> (BN, W)
+        return lax.dot_general(
+            g, seg_expand, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+        )
 
     xv = xv_ref[:]
     xd = xd_ref[:]
-    ct = ct_ref[0]  # (BN, M+1)
+    ct = ct_ref[:]  # (M+1, BX, BN)
 
     g_xv = jnp.zeros_like(xv)
     g_xd = jnp.zeros_like(xd)
     for m, slots in _slot_pack(num_levels):
-        ctm = ct[:, m:m + 1]  # (BN, 1)
         blocks, Ms, chain = [], [], []
         R = None
         for k in slots:
@@ -592,8 +662,7 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
             Ms.append(Mk)
             R = Mk if R is None else Mk * cum_lanes(R)
             chain.append(R)
-        # reverse sweep: K_m = sum_t chain[-1]
-        Rbar = jnp.broadcast_to(ctm, (BN, Lp)).astype(f32)
+        Rbar = expand(ct[m])  # (BN, W)
         for a in range(len(slots) - 1, -1, -1):
             if a > 0:
                 Mbar = Rbar * cum_lanes(chain[a - 1])
@@ -619,11 +688,17 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
 def fused_tens_vs_seq_levels(Z, X, *, num_levels: int, base: str = "rbf",
                              increments: bool = True,
                              difference: bool = True, block: int = 128,
-                             fast_math="high", interpret: bool = False):
+                             x_block="auto", fast_math="high",
+                             interpret: bool = False):
     """(num_levels+1, nZ, N) tensor-vs-sequence level kernels, fully fused.
 
     Z: (lt, nZ, 2, d) with increments else (lt, nZ, d); X: (N, L, d).
-    Differentiable via a fused backward kernel.
+    ``x_block`` examples share each grid cell's MXU pass — their time axes
+    are lane-concatenated into one (BN, x_block*Lp) tile and segment-reset
+    cumsums (`signature_pallas._make_cumsums(seg=Lp)`) keep the recursions
+    independent; 'auto' picks the widest width whose VMEM working set fits
+    (`pick_x_block`).  Differentiable via a fused backward kernel.
+    Reference hot loop: `gpsig/signature_algs.py:101-127`.
     """
     if base not in ("rbf", "linear"):
         raise ValueError(f"unsupported base {base!r} for the fused kernel")
@@ -633,47 +708,64 @@ def fused_tens_vs_seq_levels(Z, X, *, num_levels: int, base: str = "rbf",
     nb = -(-nZ // BN)
     nZp = nb * BN
     Lp = max(128, -(-L // 128) * 128)
+    if x_block == "auto":
+        # widest width that fits VMEM, without padding past N itself
+        auto = pick_x_block(Z.shape[0], nZ, d, num_levels, base, L=L)
+        while auto > 1 and auto > N:
+            auto //= 2
+        x_block = auto
+    BX = max(1, int(x_block))
+    NB = -(-N // BX)
+    Np = NB * BX
     core = _make_zx_core(
         num_levels, base, increments, difference, nb, BN, nZp, Lp, L,
-        fast_math, interpret,
+        BX, Np, fast_math, interpret,
     )
-    out = core(Z, X)  # (N, nZp, M+1)
-    return jnp.transpose(out, (2, 1, 0))[:, :nZ, :]
+    out = core(Z, X)  # (M+1, Np, nZp)
+    return jnp.transpose(out[:, :N, :nZ], (0, 2, 1))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
-                  L_true, fast_math, interpret):
+                  L_true, BX, Np, fast_math, interpret):
     from .signature_pallas import _recursion_precision
 
     precision = _recursion_precision(fast_math)
+    NB = Np // BX
+    W = BX * Lp
 
     def prep(Z, X):
         Vl, Dl = _prep_tensors(Z, base, increments, True, nZp)
+        if X.shape[0] != Np:
+            X = jnp.concatenate(
+                [X, jnp.broadcast_to(X[:1], (Np - X.shape[0],) + X.shape[1:])],
+                axis=0,
+            )
         Xv, Xd = _prep_seq(X, base, Lp)
         return Vl, Dl, Xv, Xd
 
     def fwd(Z, X):
         Vl, Dl, Xv, Xd = prep(Z, X)
         lt, d2 = Vl.shape[0], Vl.shape[1]
-        N = X.shape[0]
         spec_z = pl.BlockSpec((lt, d2, nZp), lambda i, n: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-        spec_x = pl.BlockSpec((d2, Lp), lambda i, n: (0, n),
+        spec_x = pl.BlockSpec((d2, W), lambda i, n: (0, n),
                               memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _kernel_zx_fwd, BN=BN, Lp=Lp, L_true=L_true,
+            _kernel_zx_fwd, BN=BN, BX=BX, Lp=Lp, L_true=L_true,
             num_levels=num_levels, base=base, increments=increments,
             difference=difference, precision=precision,
         )
         out = pl.pallas_call(
             kernel,
-            grid=(nb, N),
+            grid=(nb, NB),
             in_specs=[spec_z, spec_z, spec_x, spec_x],
-            out_specs=pl.BlockSpec((1, BN, num_levels + 1),
-                                   lambda i, n: (n, i, 0),
+            out_specs=pl.BlockSpec((num_levels + 1, BX, BN),
+                                   lambda i, n: (0, n, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((N, nZp, num_levels + 1), f32),
+            out_shape=jax.ShapeDtypeStruct((num_levels + 1, Np, nZp), f32),
+            compiler_params=_zx_compiler_params(
+                lt, nZp, d2, num_levels, L_true, BX, interpret),
             interpret=interpret,
         )(Vl, Dl, Xv, Xd)
         return out, (Z, X)
@@ -687,49 +779,49 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
         flats, pullback = jax.vjp(prep, Z, X)
         Vl, Dl, Xv, Xd = flats
         lt, d2 = Vl.shape[0], Vl.shape[1]
-        N = X.shape[0]
         ct = ct.astype(f32)
         spec_z = pl.BlockSpec((lt, d2, nZp), lambda i, n: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-        spec_x = pl.BlockSpec((d2, Lp), lambda i, n: (0, n),
+        spec_x = pl.BlockSpec((d2, W), lambda i, n: (0, n),
                               memory_space=pltpu.VMEM)
-        ct_spec = pl.BlockSpec((1, BN, num_levels + 1),
-                               lambda i, n: (n, i, 0),
+        ct_spec = pl.BlockSpec((num_levels + 1, BX, BN),
+                               lambda i, n: (0, n, i),
                                memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _kernel_zx_bwd, BN=BN, Lp=Lp, L_true=L_true, lt=lt,
+            _kernel_zx_bwd, BN=BN, BX=BX, Lp=Lp, L_true=L_true, lt=lt,
             num_levels=num_levels, base=base, increments=increments,
             difference=difference, precision=precision,
         )
         gz, gxv, gxd = pl.pallas_call(
             kernel,
-            grid=(nb, N),
+            grid=(nb, NB),
             in_specs=[spec_z, spec_z, spec_x, spec_x, ct_spec],
             out_specs=[
                 pl.BlockSpec((1, 2 * lt, d2, BN),
                              lambda i, n: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, d2, Lp), lambda i, n: (i, n, 0, 0),
+                pl.BlockSpec((1, 1, d2, W), lambda i, n: (i, n, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, d2, Lp), lambda i, n: (i, n, 0, 0),
+                pl.BlockSpec((1, 1, d2, W), lambda i, n: (i, n, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nb, 2 * lt, d2, BN), f32),
-                jax.ShapeDtypeStruct((nb, N, d2, Lp), f32),
-                jax.ShapeDtypeStruct((nb, N, d2, Lp), f32),
+                jax.ShapeDtypeStruct((nb, NB, d2, W), f32),
+                jax.ShapeDtypeStruct((nb, NB, d2, W), f32),
             ],
+            compiler_params=_zx_compiler_params(
+                lt, nZp, d2, num_levels, L_true, BX, interpret),
             interpret=interpret,
         )(Vl, Dl, Xv, Xd, ct)
         gZl = jnp.transpose(gz, (1, 2, 0, 3)).reshape(
             2 * lt, d2, nZp
         )
         gVl, gDl = gZl[:lt], gZl[lt:]
-        # (nb, N, d2, Lp) -> (d2, N*Lp)
         gXv = jnp.transpose(gxv.sum(axis=0), (1, 0, 2)).reshape(d2, -1)
         gXd = jnp.transpose(gxd.sum(axis=0), (1, 0, 2)).reshape(d2, -1)
         gZ, gX = pullback((gVl, gDl, gXv, gXd))
         return gZ, gX
 
-    core.defvjp(lambda Z, X: fwd(Z, X), bwd)
+    core.defvjp(fwd, bwd)
     return core
