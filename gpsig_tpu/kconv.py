@@ -72,10 +72,12 @@ class Conv1DKernel:
         return raw
 
     def constrain(self, raw: dict) -> dict:
-        return {
+        cp = {
             k: pm.constrain(v, self.bijectors.get(k, "identity"))
             for k, v in raw.items()
         }
+        cp.update(base_kernels.static_params(self.base, **self.base_options))
+        return cp
 
     # ------------------------------------------------------------------
 

@@ -181,10 +181,14 @@ class SignatureKernel:
         return raw
 
     def constrain(self, raw: dict) -> dict:
-        return {
+        cp = {
             name: pm.constrain(val, self.bijectors.get(name, "identity"))
             for name, val in raw.items()
         }
+        # static (non-trainable) base-kernel config, e.g. the poly degree
+        # (`gpsig/kernels.py:838` pins it with trainable=False)
+        cp.update(base_kernels.static_params(self.base, **self.base_options))
+        return cp
 
     def _base_kern(self, cp: dict):
         fn = base_kernels.get(self.base)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import params as pm
+
 
 def _gh_points(n: int, dtype):
     x, w = np.polynomial.hermite.hermgauss(n)
@@ -30,11 +32,38 @@ def _normal_cdf(x):
 
 @dataclasses.dataclass(frozen=True)
 class Gaussian:
-    """Gaussian likelihood with fixed noise variance (trainable variant can
-    carry the variance in the model's param pytree)."""
+    """Gaussian likelihood; noise variance fixed or trainable.
+
+    GPflow's ``Gaussian`` (used implicitly by the reference stack) trains
+    its noise variance through the softplus transform; with
+    ``trainable=True`` the raw variance lives in the model's param pytree
+    under ``"lik"`` (``SVGP.init_params``) and the methods see the
+    constrained value via :meth:`bind`.  ``trainable=False`` keeps the
+    old fixed-variance behavior with an empty param dict."""
 
     variance: float = 1.0
     num_latent: int = 1
+    trainable: bool = False
+
+    def init_params(self, dtype=None) -> dict:
+        if not self.trainable:
+            return {}
+        return {"variance": pm.raw_init(self.variance, "positive", dtype)}
+
+    def variance_of(self, params: dict):
+        """Constrained noise variance carried by ``params`` (trainable
+        likelihoods) or the fixed configuration value."""
+        if self.trainable and "variance" in params:
+            return pm.positive(params["variance"])
+        return jnp.asarray(self.variance)
+
+    def bind(self, params: dict) -> "Gaussian":
+        """Likelihood with the param-pytree variance substituted in."""
+        if not self.trainable or not params:
+            return self
+        return dataclasses.replace(
+            self, variance=pm.positive(params["variance"])
+        )
 
     def variational_expectations(self, Fmu, Fvar, Y):
         v = self.variance

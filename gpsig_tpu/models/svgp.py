@@ -59,6 +59,13 @@ class SVGP:
             mf = self.mean_function.init_params(dtype=dtype)
             if mf:
                 params["mean"] = mf
+        # trainable-likelihood parameters (e.g. Gaussian noise variance —
+        # GPflow's Gaussian trains it; reference `gpsig/models.py:13-37`)
+        lik_init = getattr(self.likelihood, "init_params", None)
+        if lik_init is not None:
+            lp = lik_init(dtype=dtype)
+            if lp:
+                params["lik"] = lp
         if self.q_diag:
             params["q_sqrt"] = jnp.ones((M, P), dtype=dtype)
         else:
@@ -70,6 +77,13 @@ class SVGP:
     def _q_sqrt(self, params):
         q = params["q_sqrt"]
         return q if self.q_diag else jnp.tril(q)
+
+    def _lik(self, params):
+        """Likelihood with any trainable parameters bound from the pytree."""
+        bind = getattr(self.likelihood, "bind", None)
+        if bind is not None and "lik" in params:
+            return bind(params["lik"])
+        return self.likelihood
 
     # ------------------------------------------------------------------
 
@@ -108,7 +122,7 @@ class SVGP:
                 params, X, return_Kzz=True, key=key
             )
             KL = gauss_kl(params["q_mu"], self._q_sqrt(params), K=Kzz)
-        var_exp = self.likelihood.variational_expectations(fmean, fvar, Y)
+        var_exp = self._lik(params).variational_expectations(fmean, fvar, Y)
         num_data = self.num_data if self.num_data is not None else batch
         scale = jnp.asarray(num_data, fmean.dtype) / batch
         return jnp.sum(var_exp) * scale - KL
@@ -116,12 +130,40 @@ class SVGP:
     def loss(self, params: dict, X, Y, *, key=None):
         return -self.elbo(params, X, Y, key=key)
 
+    def predict_f_samples(self, params: dict, X, *, num_samples: int = 1,
+                          key=None, full_cov: bool = False):
+        """Draw ``num_samples`` samples from q(f*) at new sequences.
+
+        Parity surface for GPflow's ``predict_f_samples``, which the
+        reference inherits via its SVGP subclass
+        (`gpsig/models.py:13-37`).  Returns ``(S, N, P)``.  With
+        ``full_cov=True`` samples carry the posterior cross-covariance
+        (per-latent Cholesky of the (P, N, N) covariance); the default
+        samples the marginal diagonal like GPflow's ``full_cov=False``.
+        """
+        if key is None:
+            raise ValueError("predict_f_samples requires an explicit PRNG key")
+        if full_cov:
+            fmean, fcov = self.predict_f(params, X, full_cov=True)
+            N = fcov.shape[-1]
+            chol = jnp.linalg.cholesky(
+                fcov + cfg.jitter() * jnp.eye(N, dtype=fcov.dtype)
+            )  # (P, N, N)
+            eps = jax.random.normal(
+                key, (num_samples, self.num_latent, N), fcov.dtype
+            )
+            samples = jnp.einsum("pnm,spm->spn", chol, eps)
+            return jnp.transpose(samples, (0, 2, 1)) + fmean[None]
+        fmean, fvar = self.predict_f(params, X)
+        eps = jax.random.normal(key, (num_samples,) + fmean.shape, fmean.dtype)
+        return fmean[None] + jnp.sqrt(jnp.clip(fvar, 0.0, None))[None] * eps
+
     def predict_y(self, params: dict, X, *, key=None):
         """Predictive mean/variance of observables."""
         fmean, fvar = self.predict_f(params, X, key=key)
-        return self.likelihood.predict_mean_and_var(fmean, fvar)
+        return self._lik(params).predict_mean_and_var(fmean, fvar)
 
     def predict_log_density(self, params: dict, X, Y, *, key=None):
         """log p(Y*|X*) under the predictive (nlpp = -mean of this)."""
         fmean, fvar = self.predict_f(params, X, key=key)
-        return self.likelihood.predict_log_density(fmean, fvar, Y)
+        return self._lik(params).predict_log_density(fmean, fvar, Y)

@@ -171,11 +171,13 @@ def init_params(name: str, key=None, *, num_features: int | None = None,
     Returns (raw_params, bijectors) where bijectors maps name -> bijector id.
     """
     if name == "poly":
-        raw = {
-            "poly_gamma": pm.raw_init(poly_gamma, "positive", dtype),
-            "poly_degree": jnp.asarray(poly_degree, dtype=dtype),
-        }
-        bij = {"poly_gamma": "positive", "poly_degree": "identity"}
+        # `degree` is static configuration, NOT a trainable leaf — the
+        # reference pins it with trainable=False (`gpsig/kernels.py:838`);
+        # it is injected at constrain time via :func:`static_params` so a
+        # full-pytree optimize() can never nudge the exponent (a
+        # non-integer degree over a negative inner+gamma is NaN).
+        raw = {"poly_gamma": pm.raw_init(poly_gamma, "positive", dtype)}
+        bij = {"poly_gamma": "positive"}
     elif name == "mix":
         raw = {"mixing": pm.raw_init(0.5, "positive", dtype)}
         bij = {"mixing": "positive"}
@@ -193,3 +195,13 @@ def init_params(name: str, key=None, *, num_features: int | None = None,
     else:
         raw, bij = {}, {}
     return raw, bij
+
+
+def static_params(name: str, *, poly_degree: float = 3.0, **_unused) -> dict:
+    """Non-trainable base-kernel configuration injected into constrained
+    param dicts at use time (kept out of the raw pytree so optimizers never
+    touch it).  Mirrors the reference's ``trainable=False`` degree
+    (`gpsig/kernels.py:838`)."""
+    if name == "poly":
+        return {"poly_degree": float(poly_degree)}
+    return {}
