@@ -580,8 +580,8 @@ def _slot_gram_zx_bwd(vl, dl, xv, xd, Mbar, base, increments, difference,
 
 
 def _kernel_zx_fwd(vl_ref, dl_ref, xv_ref, xd_ref, out_ref, *, BN: int,
-                   BX: int, Lp: int, L_true: int, num_levels: int, base: str,
-                   increments: bool, difference: bool, precision):
+                   BX: int, BXp: int, Lp: int, L_true: int, num_levels: int,
+                   base: str, increments: bool, difference: bool, precision):
     i = pl.program_id(0)
     W = BX * Lp
     _, cum_lanes = _make_cumsums(precision, seg=Lp)
@@ -591,21 +591,24 @@ def _kernel_zx_fwd(vl_ref, dl_ref, xv_ref, xd_ref, out_ref, *, BN: int,
         cl = lax.broadcasted_iota(jnp.int32, (BN, W), 1) % Lp
         tail_mask = (cl < L_true).astype(f32)
 
-    # per-example level-sum reduction: (BN, W) -> (BX, BN) in one matmul
-    srow = lax.broadcasted_iota(jnp.int32, (BX, W), 0)
-    scol = lax.broadcasted_iota(jnp.int32, (BX, W), 1)
+    # per-example level-sum reduction: (BN, W) -> (BXp, BN) in one matmul.
+    # BXp >= BX pads the output block's sublane dim to Mosaic's granule
+    # (8); rows >= BX have an all-zero indicator, so they write zeros that
+    # the wrapper slices away.
+    srow = lax.broadcasted_iota(jnp.int32, (BXp, W), 0)
+    scol = lax.broadcasted_iota(jnp.int32, (BXp, W), 1)
     seg_ind = (scol // Lp == srow).astype(f32)
 
     def seg_sum(R):
         return lax.dot_general(
             seg_ind, R, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=lax.Precision.HIGHEST,
-        )  # (BX, BN)
+        )  # (BXp, BN)
 
     xv = xv_ref[:]  # (d2, W)
     xd = xd_ref[:]
 
-    out_ref[0] = jnp.ones((BX, BN), f32)
+    out_ref[0] = jnp.ones((BXp, BN), f32)
     k = 0
     for m in range(1, num_levels + 1):
         R = None
@@ -620,9 +623,9 @@ def _kernel_zx_fwd(vl_ref, dl_ref, xv_ref, xd_ref, out_ref, *, BN: int,
 
 
 def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
-                   gxd_ref, *, BN: int, BX: int, Lp: int, L_true: int,
-                   lt: int, num_levels: int, base: str, increments: bool,
-                   difference: bool, precision):
+                   gxd_ref, *, BN: int, BX: int, BXp: int, Lp: int,
+                   L_true: int, lt: int, num_levels: int, base: str,
+                   increments: bool, difference: bool, precision):
     """gz accumulates across the (inner) example-block sweep in VMEM."""
     i = pl.program_id(0)
     n_id = pl.program_id(1)
@@ -634,11 +637,13 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
         cl = lax.broadcasted_iota(jnp.int32, (BN, W), 1) % Lp
         tail_mask = (cl < L_true).astype(f32)
 
-    erow = lax.broadcasted_iota(jnp.int32, (BX, W), 0)
-    ecol = lax.broadcasted_iota(jnp.int32, (BX, W), 1)
+    # rows >= BX of the (BXp-padded) cotangent block expand through an
+    # all-zero indicator row, contributing nothing
+    erow = lax.broadcasted_iota(jnp.int32, (BXp, W), 0)
+    ecol = lax.broadcasted_iota(jnp.int32, (BXp, W), 1)
     seg_expand = (ecol // Lp == erow).astype(f32)
 
-    def expand(g):  # (BX, BN) -> (BN, W)
+    def expand(g):  # (BXp, BN) -> (BN, W)
         return lax.dot_general(
             g, seg_expand, (((0,), (0,)), ((), ())),
             preferred_element_type=f32, precision=lax.Precision.HIGHEST,
@@ -646,7 +651,7 @@ def _kernel_zx_bwd(vl_ref, dl_ref, xv_ref, xd_ref, ct_ref, gz_ref, gxv_ref,
 
     xv = xv_ref[:]
     xd = xd_ref[:]
-    ct = ct_ref[:]  # (M+1, BX, BN)
+    ct = ct_ref[:]  # (M+1, BXp, BN)
 
     g_xv = jnp.zeros_like(xv)
     g_xd = jnp.zeros_like(xd)
@@ -721,8 +726,20 @@ def fused_tens_vs_seq_levels(Z, X, *, num_levels: int, base: str = "rbf",
         num_levels, base, increments, difference, nb, BN, nZp, Lp, L,
         BX, Np, fast_math, interpret,
     )
-    out = core(Z, X)  # (M+1, Np, nZp)
+    out = core(Z, X)  # (M+1, NB*BXp, nZp); BXp >= BX pads Mosaic's granule
+    BXp = _bxp(BX)
+    if BXp != BX:
+        NB = Np // BX
+        out = out.reshape(num_levels + 1, NB, BXp, nZp)[:, :, :BX]
+        out = out.reshape(num_levels + 1, Np, nZp)
     return jnp.transpose(out[:, :N, :nZ], (0, 2, 1))
+
+
+def _bxp(bx: int) -> int:
+    """Output-block sublane width: Mosaic requires the second-minor block
+    dim be a multiple of 8 (or the whole array dim), so narrow lane counts
+    pad their output rows up to the granule."""
+    return bx if bx % 8 == 0 else 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -733,6 +750,7 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
     precision = _recursion_precision(fast_math)
     NB = Np // BX
     W = BX * Lp
+    BXp = _bxp(BX)
 
     def prep(Z, X):
         Vl, Dl = _prep_tensors(Z, base, increments, True, nZp)
@@ -752,7 +770,7 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
         spec_x = pl.BlockSpec((d2, W), lambda i, n: (0, n),
                               memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _kernel_zx_fwd, BN=BN, BX=BX, Lp=Lp, L_true=L_true,
+            _kernel_zx_fwd, BN=BN, BX=BX, BXp=BXp, Lp=Lp, L_true=L_true,
             num_levels=num_levels, base=base, increments=increments,
             difference=difference, precision=precision,
         )
@@ -760,10 +778,11 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
             kernel,
             grid=(nb, NB),
             in_specs=[spec_z, spec_z, spec_x, spec_x],
-            out_specs=pl.BlockSpec((num_levels + 1, BX, BN),
+            out_specs=pl.BlockSpec((num_levels + 1, BXp, BN),
                                    lambda i, n: (0, n, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((num_levels + 1, Np, nZp), f32),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_levels + 1, NB * BXp, nZp), f32),
             compiler_params=_zx_compiler_params(
                 lt, nZp, d2, num_levels, L_true, BX, interpret),
             interpret=interpret,
@@ -784,12 +803,12 @@ def _make_zx_core(num_levels, base, increments, difference, nb, BN, nZp, Lp,
                               memory_space=pltpu.VMEM)
         spec_x = pl.BlockSpec((d2, W), lambda i, n: (0, n),
                               memory_space=pltpu.VMEM)
-        ct_spec = pl.BlockSpec((num_levels + 1, BX, BN),
+        ct_spec = pl.BlockSpec((num_levels + 1, BXp, BN),
                                lambda i, n: (0, n, i),
                                memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _kernel_zx_bwd, BN=BN, BX=BX, Lp=Lp, L_true=L_true, lt=lt,
-            num_levels=num_levels, base=base, increments=increments,
+            _kernel_zx_bwd, BN=BN, BX=BX, BXp=BXp, Lp=Lp, L_true=L_true,
+            lt=lt, num_levels=num_levels, base=base, increments=increments,
             difference=difference, precision=precision,
         )
         gz, gxv, gxd = pl.pallas_call(
