@@ -608,7 +608,7 @@ class SignatureKernel:
             raise ValueError(f"unknown method {method!r}")
 
         # cancellation-free increment Grams for bases with a closed form
-        # (rbf/linear); None falls back to naive second differencing
+        # (rbf/linear/matern12); None falls back to naive second differencing
         inc_cross, inc_diag = gram_ops.increment_gram_fns(self.base)
 
         if X2 is None:

@@ -147,9 +147,110 @@ def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     )
 
 
+def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free matern12 (exp(-r)) increment-Gram algebra.
+
+    With r_ij the distances of the four corner pairs and
+    g_ij = r_ij - r00, the naive factorization
+    ``expm1(-g11) - expm1(-g01) - expm1(-g10)`` still cancels numerically
+    (the three linear parts cancel only to O(gap^2), which IS the
+    answer's magnitude).  The identity
+    ``expm1(a+b) - expm1(a) - expm1(b) = expm1(a)*expm1(b)`` removes it
+    exactly (VERDICT r3 item 6):
+
+        M = exp(-r00) * ( exp(-(g01+g10)) * expm1(-delta)
+                          + expm1(-g01) * expm1(-g10) )
+        delta = g11 - g01 - g10 = r11 + r00 - r01 - r10
+
+    Every factor is a quotient of *small, exactly-computed* squared-radius
+    differences over O(r) denominators (the same inner-product terms the
+    rbf core uses: ``r01^2 - r00^2 = -2*d01`` etc.):
+
+        g01 = -2*d01 / (r01 + r00)          g10 = -2*d10 / (r10 + r00)
+        u   = (r10 + r00) - (r11 + r01)
+            = 2*(d01+dxx)/(r10+r11) + 2*d01/(r00+r01)
+        delta = -2*dxx/(r11+r01) - 2*d10*u/((r11+r01)*(r10+r00))
+
+    so nothing big-minus-big survives anywhere.  Each denominator is
+    floored by a triangle-inequality bound that holds mathematically and
+    only corrects floating-point violations near coincident corners:
+    ``r00 + r01 >= |dy|`` (both radii share x_s, so the y-step fits
+    between them), ``r10 + r11 >= |dy|`` (share x_{s+1}),
+    ``r10 + r00 >= |dx|`` (share y_t), ``r11 + r01 >= |dx|`` (share
+    y_{t+1}).
+    Zero steps (repeat padding) make every numerator exactly 0, so padded
+    entries are exactly 0 like the rbf core's.
+
+    Accuracy: cross entries (distinct paths) hold ~eps relative (1.7e-14
+    f64 / 4e-6 f32 at L=512, vs the naive second difference's ~3-digit f32
+    loss).  Same-path (diag/pair) entries near the diagonal are
+    sqrt(eps)-limited (~4e-8 f64 / ~1e-3 f32 worst-entry): r00 comes from
+    a sqrt of the dot-product form of |x-y|^2, whose own rounding no
+    downstream algebra can undo as r00 -> 0 — unlike rbf, where A00 enters
+    through exp() and stays eps-accurate."""
+    Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
+    Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
+    dna = bcast_a(-0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1))
+    dnb = bcast_b(-0.5 * jnp.sum((Xb[:, 1:] + Xb[:, :-1]) * dXb, axis=-1))
+    na = bcast_a(-0.5 * jnp.sum(jnp.square(Xa0), axis=-1))
+    nb = bcast_b(-0.5 * jnp.sum(jnp.square(Xb0), axis=-1))
+    # guarded norms: sqrt's VJP is NaN at an exactly-zero argument (repeat
+    # padding), and the maximum() in `over` would still route a 0-cotangent
+    # through it (0 * inf).  The guard must be a NORMAL float in the
+    # working dtype — 1e-40 is subnormal in f32 (min normal 1.18e-38), so
+    # sqrt/div grads through it still blow up.
+    tiny_sq = 1e-40 if Xa.dtype == jnp.float64 else 1e-36
+    ndx = bcast_a(jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(dXa), axis=-1), tiny_sq)))
+    ndy = bcast_b(jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(dXb), axis=-1), tiny_sq)))
+
+    def mm(A, B):
+        return jnp.einsum(spec, A, B, precision=precision)
+
+    A00 = mm(Xa0, Xb0) + na + nb          # -r00^2 / 2
+    d01 = mm(Xa0, dXb) + dnb              # (A01 - A00): -(r01^2 - r00^2)/2
+    d10 = mm(dXa, Xb0) + dna
+    dxx = mm(dXa, dXb)
+    r00sq = jnp.maximum(-2.0 * A00, 0.0)
+    r00 = jnp.sqrt(jnp.maximum(r00sq, tiny_sq))
+
+    def radius(s):
+        return jnp.sqrt(jnp.maximum(r00sq + s, tiny_sq))
+
+    r01 = radius(-2.0 * d01)
+    r10 = radius(-2.0 * d10)
+    r11 = radius(-2.0 * (d01 + d10 + dxx))
+    tiny = 1e-30
+
+    def over(num, den, floor):
+        return num / jnp.maximum(den, jnp.maximum(floor, tiny))
+
+    g01 = over(-2.0 * d01, r01 + r00, ndy)
+    g10 = over(-2.0 * d10, r10 + r00, ndx)
+    u = (over(2.0 * (d01 + dxx), r10 + r11, ndy)
+         + over(2.0 * d01, r00 + r01, ndy))
+    delta = (over(-2.0 * dxx, r11 + r01, ndx)
+             - over(2.0 * d10, r10 + r00, ndx)
+             * over(u, r11 + r01, ndx))
+    return exp_accurate(-r00) * (
+        exp_accurate(-(g01 + g10)) * _expm1_stable(-delta)
+        + _expm1_stable(-g01) * _expm1_stable(-g10)
+    )
+
+
 def _rbf_increment_cross(Xa, Xb, precision):
     """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) rbf increment Gram."""
     return _rbf_increment_core(
+        Xa, Xb, precision, "asd,btd->abst",
+        lambda v: v[:, None, :, None], lambda v: v[None, :, None, :],
+    )
+
+
+def _matern12_increment_cross(Xa, Xb, precision):
+    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) matern12 increment
+    Gram."""
+    return _matern12_increment_core(
         Xa, Xb, precision, "asd,btd->abst",
         lambda v: v[:, None, :, None], lambda v: v[None, :, None, :],
     )
@@ -180,10 +281,26 @@ def _rbf_increment_pair(Xa, Xb, precision):
     )
 
 
+def _matern12_increment_pair(Xa, Xb, precision):
+    """(N, La, d), (N, Lb, d) -> (N, La-1, Lb-1) per-example matern12
+    increment Grams (sequence-parallel building block)."""
+    return _matern12_increment_core(
+        Xa, Xb, precision, "nsd,ntd->nst",
+        lambda v: v[:, :, None], lambda v: v[:, None, :],
+    )
+
+
+def _matern12_increment_diag(X, precision):
+    """(B, L, d) -> (B, L-1, L-1) per-example matern12 increment Grams."""
+    return _matern12_increment_pair(X, X, precision)
+
+
 INCREMENT_GRAMS = {
     "linear": (_linear_increment_cross, _linear_increment_diag,
                _linear_increment_pair),
     "rbf": (_rbf_increment_cross, _rbf_increment_diag, _rbf_increment_pair),
+    "matern12": (_matern12_increment_cross, _matern12_increment_diag,
+                 _matern12_increment_pair),
 }
 
 
