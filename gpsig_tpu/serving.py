@@ -60,12 +60,12 @@ def _pad_batch(X: np.ndarray, batch: int, seq_len: int) -> np.ndarray:
     return X
 
 
-def _pick_bucket(n: int, buckets) -> int:
+def _pick_bucket(n: int, buckets, kind: str = "batch") -> int:
     for b in buckets:
         if n <= b:
             return b
     raise ValueError(
-        f"batch {n} exceeds the largest serving bucket {max(buckets)}; "
+        f"{kind} {n} exceeds the largest serving bucket {max(buckets)}; "
         "split the request or construct the Predictor with larger buckets"
     )
 
@@ -83,16 +83,25 @@ class Predictor:
         with ``predict_y``/``predict_f``).
       params: trained parameter pytree (e.g. restored via
         `gpsig_tpu.checkpoint.restore`).
-      max_len: serving sequence length; shorter inputs are repeat-padded
-        (exact — see module docstring), longer ones rejected.
+      max_len: serving sequence length; shorthand for a single-entry
+        ``len_buckets=(max_len,)``.
+      len_buckets: ascending padded sequence lengths; a request of length
+        l runs on the smallest bucket >= l (repeat-padded — exact, see
+        module docstring), longer-than-max rejected.  Short requests thus
+        avoid paying the longest bucket's O(L^2) recursion cost.
       batch_buckets: ascending padded batch sizes; a request of n rows
         runs on the smallest bucket >= n.
     """
 
-    def __init__(self, model, params, *, max_len: int,
-                 batch_buckets=(1, 8, 32), dtype=None):
+    def __init__(self, model, params, *, max_len: int | None = None,
+                 len_buckets=None, batch_buckets=(1, 8, 32), dtype=None):
+        if len_buckets is None:
+            if max_len is None:
+                raise ValueError("pass max_len or len_buckets")
+            len_buckets = (max_len,)
         self.model = model
-        self.max_len = int(max_len)
+        self.len_buckets = tuple(sorted(int(x) for x in len_buckets))
+        self.max_len = self.len_buckets[-1]
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.dtype = dtype or cfg.default_float()
         self.params = jax.device_put(params)
@@ -106,22 +115,22 @@ class Predictor:
 
     # -- compilation ----------------------------------------------------
 
-    def _get_compiled(self, what: str, batch: int, d: int):
-        key = (what, batch, self.max_len, d)
+    def _get_compiled(self, what: str, batch: int, seq_len: int, d: int):
+        key = (what, batch, seq_len, d)
         hit = self._compiled.get(key)
         if hit is None:
             fn = self._jit_y if what == "y" else self._jit_f
-            xspec = jax.ShapeDtypeStruct(
-                (batch, self.max_len, d), self.dtype
-            )
+            xspec = jax.ShapeDtypeStruct((batch, seq_len, d), self.dtype)
             hit = fn.lower(self._param_spec, xspec).compile()
             self._compiled[key] = hit
         return hit
 
     def warmup(self, num_features: int, *, what: str = "y") -> None:
-        """Eagerly compile every batch bucket (call before taking traffic)."""
-        for b in self.batch_buckets:
-            self._get_compiled(what, b, int(num_features))
+        """Eagerly compile the full (len, batch) bucket grid (call before
+        taking traffic)."""
+        for lb in self.len_buckets:
+            for b in self.batch_buckets:
+                self._get_compiled(what, b, lb, int(num_features))
 
     @property
     def num_compiled(self) -> int:
@@ -131,10 +140,12 @@ class Predictor:
 
     def _run(self, what: str, X):
         X = np.asarray(X, dtype=self.dtype)
-        n, d = X.shape[0], X.shape[2]
+        n, l, d = X.shape[0], X.shape[1], X.shape[2]
         b = _pick_bucket(n, self.batch_buckets)
-        Xp = _pad_batch(X, b, self.max_len)
-        out = self._get_compiled(what, b, d)(self.params, jnp.asarray(Xp))
+        lb = _pick_bucket(l, self.len_buckets, kind="sequence length")
+        Xp = _pad_batch(X, b, lb)
+        out = self._get_compiled(what, b, lb, d)(
+            self.params, jnp.asarray(Xp))
         return jax.tree.map(lambda a: a[:n], out)
 
     def predict_y(self, X):

@@ -94,9 +94,31 @@ class TestPredictor:
                                  batch_buckets=(2,))
         with pytest.raises(ValueError, match="exceeds the largest"):
             pred.predict_y(X[:5])
-        with pytest.raises(ValueError, match="exceeds bucket"):
+        with pytest.raises(ValueError, match="exceeds the largest"):
             long = np.concatenate([X[:1]] * 3, axis=1)  # l=21 > 7
             pred.predict_y(long)
+
+    def test_length_buckets_exact_across_two_buckets(self):
+        """Ragged lengths spanning two length buckets (VERDICT r3 item 9):
+        a short request runs on the small (cheap) bucket, a long one on
+        the large bucket, both exactly matching direct prediction."""
+        model, params, X = _small_model()
+        pred = serving.Predictor(model, params, len_buckets=(5, 10),
+                                 batch_buckets=(4,))
+        for l in (4, 7):  # -> buckets 5 and 10
+            Xq = X[:3, :l]
+            mean, var = pred.predict_y(Xq)
+            ref_mean, ref_var = model.predict_y(params, jnp.asarray(Xq))
+            np.testing.assert_allclose(
+                np.asarray(mean), np.asarray(ref_mean),
+                rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(var), np.asarray(ref_var),
+                rtol=1e-10, atol=1e-12)
+        # distinct (len, batch) shapes compiled once each
+        assert pred.num_compiled == 2
+        pred.warmup(num_features=X.shape[2])  # fills the full 2x1 grid
+        assert pred.num_compiled == 2
 
 
 class TestExport:
