@@ -176,9 +176,13 @@ def bench_selftest():
 
     def check(name, got, want, tol):
         err = float(jnp.max(jnp.abs(got - want)))
-        status = "ok" if err <= tol else "FAIL"
-        print(f"  {name:58s} max|err| {err:9.2e} (tol {tol:.0e}) {status}")
-        if err > tol:
+        # `not (err <= tol)` so NaN FAILS — `err > tol` is False for NaN,
+        # which let a NaN-gradient lane print FAIL yet still pass the gate
+        # (round-4 matern12 bwd lane)
+        ok = err <= tol
+        print(f"  {name:58s} max|err| {err:9.2e} (tol {tol:.0e}) "
+              f"{'ok' if ok else 'FAIL'}")
+        if not ok:
             failures.append((name, err, tol))
 
     for base in ("rbf", "linear"):

@@ -52,8 +52,12 @@ def square_dist(X, X2=None):
 
 
 def euclid_dist(X, X2=None):
+    # the sqrt guard must be a NORMAL f32 (min normal 1.18e-38): 1e-40 is
+    # subnormal and flushes to zero on the TPU VPU, so sqrt's VJP at
+    # coincident points becomes inf and gradients NaN (caught by the
+    # round-4 matern12 selftest bwd lane)
     r2 = square_dist(X, X2)
-    return jnp.sqrt(jnp.maximum(r2, 1e-40))
+    return jnp.sqrt(jnp.maximum(r2, 1e-36))
 
 
 # ---------------------------------------------------------------------------
@@ -126,13 +130,13 @@ def spectral(params, X, X2=None, *, family: str = "rbf"):
         2.0 * math.pi * jnp.sum(diff * omega[:, None, None, :], axis=-1)
     )
     if family == "exp":
-        kern_term = jnp.exp(-jnp.sqrt(jnp.maximum(sq, 1e-40)) / 2.0)
+        kern_term = jnp.exp(-jnp.sqrt(jnp.maximum(sq, 1e-36)) / 2.0)
     elif family == "rbf":
         kern_term = jnp.exp(-sq / 2.0)
     elif family == "mixed":
         Q1 = Q // 2
         rbf_term = jnp.exp(-sq[..., :Q1, :, :] / 2.0)
-        exp_term = jnp.exp(-jnp.sqrt(jnp.maximum(sq[..., Q1:, :, :], 1e-40)) / 2.0)
+        exp_term = jnp.exp(-jnp.sqrt(jnp.maximum(sq[..., Q1:, :, :], 1e-36)) / 2.0)
         kern_term = jnp.concatenate([rbf_term, exp_term], axis=-3)
     else:
         raise ValueError(f"Unrecognized spectral family: {family}")

@@ -714,11 +714,17 @@ def fused_tens_vs_seq_levels(Z, X, *, num_levels: int, base: str = "rbf",
     nZp = nb * BN
     Lp = max(128, -(-L // 128) * 128)
     if x_block == "auto":
-        # widest width that fits VMEM, without padding past N itself
-        auto = pick_x_block(Z.shape[0], nZ, d, num_levels, base, L=L)
-        while auto > 1 and auto > N:
-            auto //= 2
-        x_block = auto
+        # MEASURED default (round-4 on-chip A/B at the benchmark config,
+        # nZ=500 N=50 L=93 d=14 M=4): the full SVGP step runs 128.7
+        # steps/s at x_block=1 vs 117.3 at x_block=8, even though the
+        # isolated kernel is ~8% faster at width 4-8 (3.9 -> 3.6 ms
+        # fwd+bwd) — the kernel is VPU/transcendental-bound, its
+        # per-example pipeline already overlaps, and the wider grads/
+        # layout cost the surrounding step more than the lanes save.
+        # Lane widths stay available (and hardware-validated at 1/2/4/8)
+        # as an explicit tunable for shapes where the balance differs
+        # (e.g. many short sequences per grid cell).
+        x_block = 1
     BX = max(1, int(x_block))
     NB = -(-N // BX)
     Np = NB * BX
