@@ -11,6 +11,14 @@ recorded in PERF.md.
 Run on CPU (needs f64 for the oracle):
     PYTHONPATH=. JAX_PLATFORMS=cpu python benchmarks/accuracy_bases.py \
         [--L 512] [--N 6] [--levels 4]
+
+The CPU numbers flatter the naive fallback: the host libm's exp is
+~1-ulp, while the TPU VPU's f32 exp carries ~4e-6 *systematic* error
+that the naive second difference accumulates across the (L-1)^2 level
+sums.  For the table that reflects the production target, run the f32
+legs on the chip (f64 oracle stays on the host CPU backend):
+    PYTHONPATH=.:/root/.axon_site JAX_PLATFORMS=axon,cpu \
+        python benchmarks/accuracy_bases.py --f32-backend tpu
 """
 
 import argparse
@@ -38,12 +46,18 @@ def main():
     ap.add_argument("--N", type=int, default=6)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--d", type=int, default=3)
+    ap.add_argument("--f32-backend", choices=("default", "tpu"),
+                    default="default")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
     X = rng.randn(args.N, args.L, args.d).cumsum(axis=1) / np.sqrt(args.L)
 
-    print(f"| base | closed form | f32 max abs err (L={args.L}, "
+    cpu = jax.devices("cpu")[0]
+    f32_dev = jax.devices("tpu")[0] if args.f32_backend == "tpu" else cpu
+    tag = "TPU" if args.f32_backend == "tpu" else "CPU"
+
+    print(f"| base | closed form | f32-on-{tag} max abs err (L={args.L}, "
           f"normalized Gram) |")
     print("|---|---|---|")
     for base in BASES:
@@ -53,15 +67,18 @@ def main():
             normalization=True, fused="off",
         )
         p64 = kern.init_params()
-        K64 = kern.K(p64, jnp.asarray(X))
-        p32 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), p64)
-        X32 = jnp.asarray(X, jnp.float32)
+        with jax.default_device(cpu):
+            K64 = np.asarray(kern.K(p64, jax.device_put(jnp.asarray(X), cpu)))
+        p32 = jax.device_put(
+            jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), p64), f32_dev)
+        X32 = jax.device_put(jnp.asarray(X, jnp.float32), f32_dev)
         closed = gram_ops.increment_gram_fns(base)[0] is not None
         if closed:
-            K32 = kern.K_blocked(p32, X32, block_size=max(8, args.N))
+            K32 = jax.jit(lambda p, x, k=kern: k.K_blocked(
+                p, x, block_size=max(8, args.N)))(p32, X32)
         else:
-            K32 = kern.K(p32, X32)
-        err = float(jnp.max(jnp.abs(K32.astype(jnp.float64) - K64)))
+            K32 = jax.jit(lambda p, x, k=kern: k.K(p, x))(p32, X32)
+        err = float(np.max(np.abs(np.asarray(K32).astype(np.float64) - K64)))
         print(f"| {base} | {'yes' if closed else 'no (naive fallback)'} "
               f"| {err:.1e} |")
 
