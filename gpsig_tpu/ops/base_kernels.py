@@ -71,11 +71,14 @@ def linear(params, X, X2=None):
 
 
 def cosine(params, X, X2=None):
-    Xn = jnp.sqrt(jnp.sum(jnp.square(X), axis=-1))
+    # norm guards in the f32-normal range (like euclid_dist's): sqrt's VJP
+    # and the division are NaN/inf at an exactly-zero point otherwise
+    Xn = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(X), axis=-1), 1e-36))
     if X2 is None:
         X2, X2n = X, Xn
     else:
-        X2n = jnp.sqrt(jnp.sum(jnp.square(X2), axis=-1))
+        X2n = jnp.sqrt(
+            jnp.maximum(jnp.sum(jnp.square(X2), axis=-1), 1e-36))
     return _inner(X, X2) / (Xn[..., :, None] * X2n[..., None, :])
 
 

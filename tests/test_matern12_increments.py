@@ -123,3 +123,24 @@ def test_f32_cross_accuracy_at_long_L():
     ours32 = gram_ops._matern12_increment_cross(X32, Y32, HI)
     err_ours = float(jnp.max(jnp.abs(ours32 - oracle)))
     assert err_ours < 5e-5, err_ours
+
+
+def test_base_kernel_grads_finite_at_coincident_and_zero_points():
+    """Guard regression pins (round 4): euclid_dist/cosine sqrt guards must
+    be NORMAL f32 values — 1e-40 is subnormal, flushes to zero on the TPU
+    VPU, and makes gradients NaN at coincident/zero points (caught by the
+    on-chip matern12 selftest bwd lane)."""
+    X = jnp.asarray(np.concatenate(
+        [np.zeros((1, 3)), RNG.randn(4, 3), RNG.randn(1, 3)]
+    ), jnp.float32)
+    X = X.at[5].set(X[1])  # duplicate row -> coincident pair
+    for name in ("matern12", "matern32", "matern52"):
+        kf = base_kernels.get(name)
+        g = jax.grad(lambda x: jnp.sum(kf({}, x, x)))(X)
+        assert bool(jnp.all(jnp.isfinite(g))), name
+    # cosine similarity of an exactly-zero vector has no limit, so its
+    # gradient there is out of scope; coincident NONZERO points must be
+    # finite though
+    kf = base_kernels.get("cosine")
+    g = jax.grad(lambda x: jnp.sum(kf({}, x, x)))(X[1:])
+    assert bool(jnp.all(jnp.isfinite(g))), "cosine"
