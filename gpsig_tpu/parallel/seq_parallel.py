@@ -396,11 +396,16 @@ def seq_cross_levels_from_sequences(mesh: Mesh, X, X2, num_levels: int, *,
 
 def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
                                    pair_cross_fn, diag_pair_fn,
-                                   axes: tuple[str, str]):
+                                   axes: tuple[str, str],
+                                   batch_axis: str | None = None):
     """One-sided SP covariances for inducing *sequences*: short Z sequences
     (time axis on the size-1 ``axes[0]`` mesh axis — effectively local) vs
     long X sequences time-sharded over ``axes[1]``, plus X's per-level
     diagonals, sharing ONE gathered copy of X per device.
+
+    ``batch_axis`` optionally shards X's example axis too (DP x SP for the
+    sequences family): each data shard runs the time-carry collectives
+    along ``axes[1]`` independently and the outputs stay example-sharded.
 
     Returns (Kzx_lvls (M+1, N1, N2), Kxx_diag_lvls (M+1, N2))."""
     ax_s, ax_t = axes
@@ -419,8 +424,8 @@ def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, ax_s, None), P(None, ax_t, None)),
-        out_specs=(P(), P()),
+        in_specs=(P(None, ax_s, None), P(batch_axis, ax_t, None)),
+        out_specs=(P(None, None, batch_axis), P(None, batch_axis)),
     )(Z, X)
 
 
@@ -653,6 +658,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
 
 def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
                              axis: str = "seq",
+                             batch_axis: str | None = None,
                              full_X2_cov: bool = False,
                              return_levels: bool = False):
     """SP equivalent of ``SignatureKernel.K_seq_n_seq_covs`` (diag Kxx leg):
@@ -665,6 +671,8 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     from .. import config as cfg
 
     _check_sp_kernel(kern)
+    if full_X2_cov and batch_axis is not None:
+        raise NotImplementedError("full_X2_cov with a sharded example axis")
     cp = kern.constrain(params)
     jitter = cfg.jitter()
     Zs = kern._scale_sequences(cp, jnp.asarray(Z))
@@ -673,11 +681,19 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     N1, N2 = Zs.shape[0], Xs.shape[0]
 
     pair_cross = make_pair_cross_fn(kern.base, base_kern)
-    mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_zt", axis))
+    if batch_axis is None:
+        mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_zt", axis))
+    else:
+        # DP x SP: keep the caller's ('data', 'seq') layout and stack the
+        # size-1 Z-time axis in front of it
+        mesh2 = Mesh(
+            mesh.devices.reshape((1,) + mesh.devices.shape),
+            ("_zt",) + tuple(mesh.axis_names),
+        )
     Kzx_lvls, Kxx_diag = seq_vs_seq_covs_from_sequences(
         mesh2, Zs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
         diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
-        axes=("_zt", axis),
+        axes=("_zt", axis), batch_axis=batch_axis,
     )
 
     Kzz_lvls = kern._K_seq(cp, Zs)
@@ -823,7 +839,8 @@ class SPInducingSequences(_SPInducing):
     ``P(None, axis, None)`` over ``mesh``."""
 
     def __init__(self, Z, num_levels: int, mesh: Mesh, *,
-                 learn_weights: bool = False, axis: str = "seq"):
+                 learn_weights: bool = False, axis: str = "seq",
+                 batch_axis: str | None = None):
         from ..inducing import InducingSequences
 
         super().__init__(
@@ -831,10 +848,13 @@ class SPInducingSequences(_SPInducing):
             mesh, axis,
         )
         self.len_inducing = self._base.len_inducing
+        # DP x SP: the mesh axis carrying the example dimension
+        self.batch_axis = batch_axis
 
     def _sp_cov_levels(self, ind_params, kern, kern_params, X,
                        full_f_cov: bool = False):
         return kernel_seq_n_seq_covs_sp(
             kern, kern_params, self.mesh, ind_params["Z"], X,
-            axis=self.axis, full_X2_cov=full_f_cov, return_levels=True,
+            axis=self.axis, batch_axis=self.batch_axis,
+            full_X2_cov=full_f_cov, return_levels=True,
         )

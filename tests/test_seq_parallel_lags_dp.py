@@ -195,6 +195,38 @@ class TestDPxSP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-9)
 
+    def test_inducing_sequences_on_data_seq_mesh(self):
+        """DP x SP for the sequences inducing family: batch AND time
+        sharded ELBO == single-device."""
+        M_lvls, N, L, d, nZ, lz = 2, 4, 16, 2, 3, 4
+        X = RNG.randn(N, L, d) / np.sqrt(L)
+        y = RNG.randint(0, 2, N).astype(np.float64)
+        Zseq = RNG.randn(nZ, lz, d) / np.sqrt(lz)
+        kern = kernels.SignatureRBF(d, M_lvls)
+        mesh = _dp_sp_mesh(data=2, seq=4)
+        ind_sp = seq_parallel.SPInducingSequences(
+            Zseq, M_lvls, mesh, batch_axis="data")
+        from gpsig_tpu.inducing import InducingSequences
+        ind_ref = InducingSequences(Zseq, M_lvls)
+        m_sp = SVGP(kern, ind_sp, likelihoods.Bernoulli(), num_latent=1,
+                    num_data=N)
+        m_ref = SVGP(kern, ind_ref, likelihoods.Bernoulli(), num_latent=1,
+                     num_data=N)
+        params = m_ref.init_params()
+        params["q_mu"] = jnp.asarray(RNG.randn(*params["q_mu"].shape))
+        Y = jnp.asarray(y[:, None])
+        Xs = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh, P("data", "seq", None)))
+        e_sp = float(jax.jit(m_sp.elbo)(params, Xs, Y))
+        e_ref = float(m_ref.elbo(params, jnp.asarray(X), Y))
+        np.testing.assert_allclose(e_sp, e_ref, rtol=1e-8)
+        g_sp = jax.jit(jax.grad(lambda p: m_sp.elbo(p, Xs, Y)))(params)
+        g_ref = jax.jit(
+            jax.grad(lambda p: m_ref.elbo(p, jnp.asarray(X), Y)))(params)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+
     def test_dp_sp_with_lags(self):
         """The flagship config (lags) on the combined mesh."""
         M_lvls, N, L, d, nT = 2, 4, 8, 2, 3
