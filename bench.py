@@ -203,21 +203,33 @@ def bench_selftest():
                 scale = float(jnp.max(jnp.abs(gx))) + 1e-30
                 check(f"{name} bwd", gf / scale, gx / scale, 1e-2)
 
-    # matern12 closed-form increment algebra (VERDICT r4): the blocked MXU
-    # path rides `ops/gram._matern12_increment_core` on the chip; at L=33
-    # the naive reference graph is still accurate enough to pin consistency
-    # (the closed form's advantage grows with L — accuracy table in
-    # PERF.md).  fwd + bwd through the public kernel API.
-    km = kernels.SignatureMatern12(d, M, normalization=True)
-    pm_ = km.init_params()
-    Km_b = jax.jit(lambda x: km.K_blocked(pm_, x, block_size=8))(X)
-    Km_n = jax.jit(lambda x: km.K(pm_, x))(X)
-    check("K matern12 blocked(closed form) vs naive fwd", Km_b, Km_n, 5e-3)
-    gmb = jax.jit(jax.grad(
-        lambda x: jnp.sum(km.K_blocked(pm_, x, block_size=8))))(X)
-    gmn = jax.jit(jax.grad(lambda x: jnp.sum(km.K(pm_, x))))(X)
-    sm = float(jnp.max(jnp.abs(gmn))) + 1e-30
-    check("K matern12 blocked vs naive bwd", gmb / sm, gmn / sm, 1e-2)
+    # Closed-form increment algebra (VERDICT r4 item 6 + the r4 extension
+    # to every non-spectral base): the blocked MXU path rides the
+    # `ops/gram` cancellation-free increment cores on the chip; at L=33
+    # the naive reference graph is still accurate enough to pin
+    # consistency (the closed forms' advantage grows with L — accuracy
+    # table in PERF.md).  fwd + bwd through the public kernel API.
+    # cosine runs on shifted paths: zero-norm observations have no cosine
+    # limit (`ops/gram._unit_steps` contract).
+    Xs_ = X + 0.5
+    for mb, mcls, kw, Xb in (
+            ("matern12", kernels.SignatureMatern12, {}, X),
+            ("matern32", kernels.SignatureMatern32, {}, X),
+            ("matern52", kernels.SignatureMatern52, {}, X),
+            ("cosine", kernels.SignatureCosine, {}, Xs_),
+            ("mix", kernels.SignatureMix, {}, X),
+            ("poly", kernels.SignaturePoly,
+             {"gamma": 1.0, "degree": 3}, X)):
+        km = mcls(d, M, normalization=True, **kw)
+        pm_ = km.init_params()
+        Km_b = jax.jit(lambda x: km.K_blocked(pm_, x, block_size=8))(Xb)
+        Km_n = jax.jit(lambda x: km.K(pm_, x))(Xb)
+        check(f"K {mb} blocked(closed form) vs naive fwd", Km_b, Km_n, 5e-3)
+        gmb = jax.jit(jax.grad(
+            lambda x: jnp.sum(km.K_blocked(pm_, x, block_size=8))))(Xb)
+        gmn = jax.jit(jax.grad(lambda x: jnp.sum(km.K(pm_, x))))(Xb)
+        sm = float(jnp.max(jnp.abs(gmn))) + 1e-30
+        check(f"K {mb} blocked vs naive bwd", gmb / sm, gmn / sm, 1e-2)
 
     # unnormalized Kdiag: hits the blocked-MXU _K_seq_diag branch directly
     # (under normalization the returned diag is a constant, so this is the

@@ -72,7 +72,8 @@ def main():
         p32 = jax.device_put(
             jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), p64), f32_dev)
         X32 = jax.device_put(jnp.asarray(X, jnp.float32), f32_dev)
-        closed = gram_ops.increment_gram_fns(base)[0] is not None
+        closed = gram_ops.increment_gram_fns(
+            base, kern.constrain(p64))[0] is not None
         if closed:
             K32 = jax.jit(lambda p, x, k=kern: k.K_blocked(
                 p, x, block_size=max(8, args.N)))(p32, X32)

@@ -281,7 +281,7 @@ class SignatureKernel:
         if self.difference and self._fused_tens_ok():
             from .ops import gram as gram_ops
 
-            _, inc_diag = gram_ops.increment_gram_fns(self.base)
+            _, inc_diag = gram_ops.increment_gram_fns(self.base, cp)
             if inc_diag is not None:
                 # single straight-line block (no lax.map/dynamic-slice —
                 # those blow up compile time inside unrolled grad graphs)
@@ -608,8 +608,10 @@ class SignatureKernel:
             raise ValueError(f"unknown method {method!r}")
 
         # cancellation-free increment Grams for bases with a closed form
-        # (rbf/linear/matern12); None falls back to naive second differencing
-        inc_cross, inc_diag = gram_ops.increment_gram_fns(self.base)
+        # (rbf/linear/matern12/32/52/cosine, plus the param-dependent mix
+        # and integer-degree poly); None falls back to naive second
+        # differencing
+        inc_cross, inc_diag = gram_ops.increment_gram_fns(self.base, cp)
 
         if X2 is None:
             K_lvls = gram_ops.blocked_first_order_levels(
@@ -680,7 +682,7 @@ class SignatureKernel:
                 d1s = jnp.sqrt(jnp.diagonal(K_lvls, axis1=-2, axis2=-1))
                 d2s = d1s
             else:
-                _, inc_diag = gram_ops.increment_gram_fns(self.base)
+                _, inc_diag = gram_ops.increment_gram_fns(self.base, cp)
                 d1 = gram_ops.blocked_first_order_levels_diag(
                     kern, Xs, num_levels=self.num_levels, order=self.order,
                     difference=self.difference, block_size=diag_block_size,

@@ -120,6 +120,52 @@ def _linear_increment_diag(X, precision):
     return jnp.einsum("bsd,btd->bst", dX, dX, precision=precision)
 
 
+def _unit_steps(X):
+    """Row-normalized observations and their cancellation-free steps.
+
+    cosine's second difference telescopes exactly:
+    ``k(x',y') + k(x,y) - k(x,y') - k(x',y) = <x_hat'-x_hat, y_hat'-y_hat>``
+    — the *linear* increment Gram of the unit-normalized points.  Forming
+    ``d(x_hat)`` by direct subtraction would leave each entry with ~eps
+    *absolute* error (the rounding inside each O(1) x_hat); instead
+
+        d(x_hat) = ( |x| dx - x * (|x'| - |x|) ) / (|x| |x'|)
+        |x'| - |x| = <x' + x, dx> / (|x'| + |x|)
+
+    keeps every factor a small-quantity product, so d(x_hat) is ~eps
+    *relative* and the increment Gram stays cancellation-free like the
+    linear core's.  Norm guards sit in the f32-normal range (1e-36, like
+    `base_kernels.cosine`); zero observations have no cosine limit and are
+    out of scope (same contract as the direct path)."""
+    n = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(X), axis=-1), 1e-36))
+    X0, dX = X[:, :-1], X[:, 1:] - X[:, :-1]
+    n0, n1 = n[:, :-1], n[:, 1:]
+    dn = jnp.sum((X[:, 1:] + X[:, :-1]) * dX, axis=-1) / (n0 + n1)
+    dXh = (n0[..., None] * dX - X0 * dn[..., None]) / (n0 * n1)[..., None]
+    return X / n[..., None], dXh
+
+
+def _cosine_increment_cross(Xa, Xb, precision):
+    """(A, L1, d), (B, L2, d) -> (A, B, L1-1, L2-1) cosine increment Gram
+    (see `_unit_steps`)."""
+    _, dXa = _unit_steps(Xa)
+    _, dXb = _unit_steps(Xb)
+    return jnp.einsum("asd,btd->abst", dXa, dXb, precision=precision)
+
+
+def _cosine_increment_pair(Xa, Xb, precision):
+    """(N, La, d), (N, Lb, d) -> (N, La-1, Lb-1) per-example cosine
+    increment Grams (sequence-parallel building block)."""
+    _, dXa = _unit_steps(Xa)
+    _, dXb = _unit_steps(Xb)
+    return jnp.einsum("nsd,ntd->nst", dXa, dXb, precision=precision)
+
+
+def _cosine_increment_diag(X, precision):
+    """(B, L, d) -> (B, L-1, L-1) per-example cosine increment Grams."""
+    return _cosine_increment_pair(X, X, precision)
+
+
 def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     """Cancellation-free rbf increment-Gram algebra, shared by the cross /
     diag / pair variants (which differ only in the einsum subscripts and
@@ -147,24 +193,18 @@ def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     )
 
 
-def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
-    """Cancellation-free matern12 (exp(-r)) increment-Gram algebra.
+def _radius_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free corner-distance geometry shared by the matern
+    increment cores: ``(r00, g01, g10, delta)`` with
 
-    With r_ij the distances of the four corner pairs and
-    g_ij = r_ij - r00, the naive factorization
-    ``expm1(-g11) - expm1(-g01) - expm1(-g10)`` still cancels numerically
-    (the three linear parts cancel only to O(gap^2), which IS the
-    answer's magnitude).  The identity
-    ``expm1(a+b) - expm1(a) - expm1(b) = expm1(a)*expm1(b)`` removes it
-    exactly (VERDICT r3 item 6):
+        g01 = r01 - r00,  g10 = r10 - r00,
+        delta = r11 + r00 - r01 - r10   (the "second difference" of r),
 
-        M = exp(-r00) * ( exp(-(g01+g10)) * expm1(-delta)
-                          + expm1(-g01) * expm1(-g10) )
-        delta = g11 - g01 - g10 = r11 + r00 - r01 - r10
-
-    Every factor is a quotient of *small, exactly-computed* squared-radius
-    differences over O(r) denominators (the same inner-product terms the
-    rbf core uses: ``r01^2 - r00^2 = -2*d01`` etc.):
+    where r_ij are the Euclidean distances of the four corner pairs
+    (x_s or x_{s+1}) vs (y_t or y_{t+1}).  Every output is a quotient of
+    *small, exactly-computed* squared-radius differences over O(r)
+    denominators (the same inner-product terms the rbf core uses:
+    ``r01^2 - r00^2 = -2*d01`` etc.):
 
         g01 = -2*d01 / (r01 + r00)          g10 = -2*d10 / (r10 + r00)
         u   = (r10 + r00) - (r11 + r01)
@@ -179,15 +219,13 @@ def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     ``r10 + r00 >= |dx|`` (share y_t), ``r11 + r01 >= |dx|`` (share
     y_{t+1}).
     Zero steps (repeat padding) make every numerator exactly 0, so padded
-    entries are exactly 0 like the rbf core's.
+    entries contribute exactly-0 increments like the rbf core's.
 
-    Accuracy: cross entries (distinct paths) hold ~eps relative (1.7e-14
-    f64 / 4e-6 f32 at L=512, vs the naive second difference's ~3-digit f32
-    loss).  Same-path (diag/pair) entries near the diagonal are
-    sqrt(eps)-limited (~4e-8 f64 / ~1e-3 f32 worst-entry): r00 comes from
-    a sqrt of the dot-product form of |x-y|^2, whose own rounding no
-    downstream algebra can undo as r00 -> 0 — unlike rbf, where A00 enters
-    through exp() and stays eps-accurate."""
+    Accuracy: cross entries (distinct paths) hold ~eps relative.
+    Same-path (diag/pair) entries near the diagonal are sqrt(eps)-limited:
+    r00 comes from a sqrt of the dot-product form of |x-y|^2, whose own
+    rounding no downstream algebra can undo as r00 -> 0 — unlike rbf,
+    where A00 enters through exp() and stays eps-accurate."""
     Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
     Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
     dna = bcast_a(-0.5 * jnp.sum((Xa[:, 1:] + Xa[:, :-1]) * dXa, axis=-1))
@@ -233,10 +271,104 @@ def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     delta = (over(-2.0 * dxx, r11 + r01, ndx)
              - over(2.0 * d10, r10 + r00, ndx)
              * over(u, r11 + r01, ndx))
+    return r00, g01, g10, delta
+
+
+def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free matern12 (exp(-r)) increment-Gram algebra.
+
+    With r_ij the distances of the four corner pairs and
+    g_ij = r_ij - r00, the naive factorization
+    ``expm1(-g11) - expm1(-g01) - expm1(-g10)`` still cancels numerically
+    (the three linear parts cancel only to O(gap^2), which IS the
+    answer's magnitude).  The identity
+    ``expm1(a+b) - expm1(a) - expm1(b) = expm1(a)*expm1(b)`` removes it
+    exactly (VERDICT r3 item 6):
+
+        M = exp(-r00) * ( exp(-(g01+g10)) * expm1(-delta)
+                          + expm1(-g01) * expm1(-g10) )
+        delta = g11 - g01 - g10 = r11 + r00 - r01 - r10
+
+    Geometry (r00/g01/g10/delta) is the shared cancellation-free
+    ``_radius_gaps`` — see its docstring for the algebra and the
+    accuracy characterization (cross ~eps: 1.7e-14 f64 / 4e-6 f32 at
+    L=512; same-path corners sqrt(eps)-limited)."""
+    r00, g01, g10, delta = _radius_gaps(
+        Xa, Xb, precision, spec, bcast_a, bcast_b)
     return exp_accurate(-r00) * (
         exp_accurate(-(g01 + g10)) * _expm1_stable(-delta)
         + _expm1_stable(-g01) * _expm1_stable(-g10)
     )
+
+
+def _matern_poly_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b,
+                                *, s, half: bool):
+    """Cancellation-free matern32/52 increment-Gram algebra (round-4
+    extension of VERDICT r3 item 6 beyond exp(-r)).
+
+    Both kernels are polynomial-times-exponential in the distance
+    (reference `gpsig/kernels.py:974-979` Matern32, `:991-997` Matern52):
+
+        matern32: f(r) = (1 + s*r) * exp(-s*r),            s = sqrt(3)
+        matern52: f(r) = (1 + s*r + (s^2/3) r^2) e^{-s r}, s = sqrt(5)
+
+    Writing the four corners as r00 + h with h in {0, g01, g10, G},
+    G = g01 + g10 + delta (gaps from ``_radius_gaps``), the second
+    difference factors through exp(-s*r00) with P(h) = f(r00+h)e^{s r00}
+    expanded in h:  P(h) = c0 + c1*h + c2*h^2,
+
+        c0 = f(r00)*e^{s r00}          (1 + s r00 [+ (s^2/3) r00^2])
+        c1 = s [+ (2 s^2/3) r00]       c2 = [s^2/3]   ([..] matern52 only)
+
+    and each monomial's second difference is cancellation-free:
+
+        h^0: expm1(-sg01)expm1(-sg10) + e^{-s(g01+g10)} expm1(-s*delta)
+             (the matern12 identity)
+        h^1: g01 e^{-sg01} expm1(-s(g10+delta))
+             + g10 e^{-sg10} expm1(-s(g01+delta)) + delta e^{-sG}
+        h^2: g01^2 e^{-sg01} expm1(-s(g10+delta))
+             + g10^2 e^{-sg10} expm1(-s(g01+delta))
+             + (delta^2 + 2 g01 g10 + 2 delta (g01+g10)) e^{-sG}
+
+    — every term is a product of >= 2 small gap quantities (or one
+    genuinely-second-order delta), so the O(gap^2) answer is built from
+    same-magnitude pieces instead of surviving a big-minus-big.  Accuracy
+    matches the matern12 core's regime (cross ~eps relative; same-path
+    corners sqrt(eps)-limited via r00 — `_radius_gaps` docstring)."""
+    r00, g01, g10, delta = _radius_gaps(
+        Xa, Xb, precision, spec, bcast_a, bcast_b)
+    sg01, sg10, sdel = s * g01, s * g10, s * delta
+    e01, e10 = exp_accurate(-sg01), exp_accurate(-sg10)
+    eG = exp_accurate(-(sg01 + sg10 + sdel))
+    em_10d = _expm1_stable(-(sg10 + sdel))
+    em_01d = _expm1_stable(-(sg01 + sdel))
+    t0 = (_expm1_stable(-sg01) * _expm1_stable(-sg10)
+          + exp_accurate(-(sg01 + sg10)) * _expm1_stable(-sdel))
+    t1 = g01 * e01 * em_10d + g10 * e10 * em_01d + delta * eG
+    if half:  # matern32: P(h) = (1 + s r00) + s h
+        bracket = (1.0 + s * r00) * t0 + s * t1
+    else:     # matern52: quadratic P(h)
+        ss3 = s * s / 3.0
+        c0 = 1.0 + s * r00 + ss3 * jnp.square(r00)
+        c1 = s + 2.0 * ss3 * r00
+        t2 = (jnp.square(g01) * e01 * em_10d
+              + jnp.square(g10) * e10 * em_01d
+              + (jnp.square(delta) + 2.0 * g01 * g10
+                 + 2.0 * delta * (g01 + g10)) * eG)
+        bracket = c0 * t0 + c1 * t1 + ss3 * t2
+    return exp_accurate(-s * r00) * bracket
+
+
+def _matern32_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    return _matern_poly_increment_core(
+        Xa, Xb, precision, spec, bcast_a, bcast_b,
+        s=math.sqrt(3.0), half=True)
+
+
+def _matern52_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    return _matern_poly_increment_core(
+        Xa, Xb, precision, spec, bcast_a, bcast_b,
+        s=math.sqrt(5.0), half=False)
 
 
 def _rbf_increment_cross(Xa, Xb, precision):
@@ -295,27 +427,150 @@ def _matern12_increment_diag(X, precision):
     return _matern12_increment_pair(X, X, precision)
 
 
+def _core_variants(core):
+    """(cross, diag, pair) wrappers for a matern-style increment core
+    (same einsum/broadcast plumbing as the explicit matern12 trio)."""
+
+    def cross(Xa, Xb, precision):
+        return core(Xa, Xb, precision, "asd,btd->abst",
+                    lambda v: v[:, None, :, None],
+                    lambda v: v[None, :, None, :])
+
+    def pair(Xa, Xb, precision):
+        return core(Xa, Xb, precision, "nsd,ntd->nst",
+                    lambda v: v[:, :, None], lambda v: v[:, None, :])
+
+    def diag(X, precision):
+        return pair(X, X, precision)
+
+    return cross, diag, pair
+
+
 INCREMENT_GRAMS = {
     "linear": (_linear_increment_cross, _linear_increment_diag,
                _linear_increment_pair),
     "rbf": (_rbf_increment_cross, _rbf_increment_diag, _rbf_increment_pair),
     "matern12": (_matern12_increment_cross, _matern12_increment_diag,
                  _matern12_increment_pair),
+    "matern32": _core_variants(_matern32_increment_core),
+    "matern52": _core_variants(_matern52_increment_core),
+    "cosine": (_cosine_increment_cross, _cosine_increment_diag,
+               _cosine_increment_pair),
 }
 
 
-def increment_gram_fns(base: str):
+def _mix_increment_maker(params):
+    """mix = mixing*rbf + (1-mixing)*linear is linear in the base Gram, so
+    its increment Gram is the same convex combination of the two closed
+    forms (`base_kernels.mix`, reference `gpsig/kernels.py:870-892`)."""
+    mixing = params["mixing"]
+
+    def core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+        rbf_part = _rbf_increment_core(
+            Xa, Xb, precision, spec, bcast_a, bcast_b)
+        dXa = Xa[:, 1:] - Xa[:, :-1]
+        dXb = Xb[:, 1:] - Xb[:, :-1]
+        lin = jnp.einsum(spec, dXa, dXb, precision=precision)
+        return mixing * rbf_part + (1.0 - mixing) * lin
+
+    return _core_variants(core)
+
+
+def _poly_increment_maker(params):
+    """Cancellation-free poly ((<x,y>+gamma)^p) increment-Gram algebra.
+
+    With corner inner products I00 + {0, h01, h10, h01+h10+dl}
+    (h01 = <x,dy>, h10 = <dx,y>, dl = <dx,dy> — all *small*, computed
+    directly from difference vectors, and the corner decomposition exact),
+    the second difference of f(t) = (t+gamma)^p expands binomially around
+    c = I00 + gamma:
+
+        D = sum_{k=1..p} C(p,k) c^{p-k} * S_k
+        S_k = sum_{a+b+e=k} k!/(a!b!e!) h01^a h10^b dl^e
+              minus the (k,0,0) and (0,k,0) monomials
+
+    — the dropped monomials are exactly the ones cancelled by the
+    -f(I01) - f(I10) corners, and every surviving monomial is a product
+    of >= 2 small factors (or a power of the second-order dl), so the
+    O(small^2) answer never rides a big-minus-big.  Requires a static
+    integer degree (`static_params`, reference `gpsig/kernels.py:838`);
+    non-integer degrees fall back to naive differencing (None)."""
+    degree = params.get("poly_degree")
+    if degree is None:
+        return None
+    try:
+        p = float(degree)  # static by construction (`static_params`) —
+    except TypeError:      # a traced degree has no closed form
+        return None
+    if not p.is_integer() or not (1 <= p <= 16):
+        return None
+    p = int(p)
+    gamma = params["poly_gamma"]
+
+    def core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+        Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
+        Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
+
+        def mm(A, B):
+            return jnp.einsum(spec, A, B, precision=precision)
+
+        c = mm(Xa0, Xb0) + gamma
+        h01 = mm(Xa0, dXb)
+        h10 = mm(dXa, Xb0)
+        dl = mm(dXa, dXb)
+        out = None
+        for k in range(1, p + 1):
+            Sk = None
+            for a in range(k + 1):
+                for b in range(k + 1 - a):
+                    e = k - a - b
+                    if (a == k and b == 0) or (b == k and a == 0):
+                        continue
+                    coef = (math.factorial(k)
+                            // (math.factorial(a) * math.factorial(b)
+                                * math.factorial(e)))
+                    term = float(coef) * (h01 ** a) * (h10 ** b) * (dl ** e)
+                    Sk = term if Sk is None else Sk + term
+            term = float(math.comb(p, k)) * c ** (p - k) * Sk
+            out = term if out is None else out + term
+        return out
+
+    return _core_variants(core)
+
+
+# param-dependent closed forms: resolved lazily because the increment
+# algebra needs the kernel's constrained params (mixing weight, poly
+# gamma/degree) — `increment_gram_fns(base, params)` with params in scope
+PARAM_INCREMENT_GRAMS = {
+    "mix": _mix_increment_maker,
+    "poly": _poly_increment_maker,
+}
+
+
+def _resolve_increment_grams(base: str, params):
+    fns = INCREMENT_GRAMS.get(base)
+    if fns is not None:
+        return fns
+    maker = PARAM_INCREMENT_GRAMS.get(base)
+    if maker is not None and params is not None:
+        return maker(params)
+    return None
+
+
+def increment_gram_fns(base: str, params=None):
     """(cross_fn, diag_fn) computing cancellation-free increment Grams for
     ``base``, or (None, None) when no closed form is implemented (callers
-    fall back to naive second differencing — exact in f64)."""
-    fns = INCREMENT_GRAMS.get(base)
+    fall back to naive second differencing — exact in f64).  ``params``
+    (the constrained+static param dict) unlocks the param-dependent bases
+    (mix, integer-degree poly)."""
+    fns = _resolve_increment_grams(base, params)
     return (fns[0], fns[1]) if fns else (None, None)
 
 
-def increment_gram_pair_fn(base: str):
+def increment_gram_pair_fn(base: str, params=None):
     """Per-example two-view increment Gram ``f(Xa, Xb, precision) ->
     (N, La-1, Lb-1)`` for ``base``, or None without a closed form."""
-    fns = INCREMENT_GRAMS.get(base)
+    fns = _resolve_increment_grams(base, params)
     return fns[2] if fns else None
 
 

@@ -270,16 +270,17 @@ def pad_sequences_to_chunks(X, n_chunks: int):
 
 
 def make_pair_increment_fn(base: str, base_kern=None,
-                           precision=None):
+                           precision=None, params=None):
     """``f(Xa_pts, Xb_pts) -> (N, La-1, Lb-1)`` per-example increment Grams.
 
     Uses the cancellation-free closed form when ``base`` has one
-    (rbf/linear, `ops/gram.py`), otherwise falls back to evaluating
+    (`ops/gram.py`; ``params`` — the constrained dict — unlocks the
+    param-dependent mix/poly forms), otherwise falls back to evaluating
     ``base_kern`` on the points and second-differencing (exact in f64)."""
     from ..ops import gram as gram_ops
 
     precision = precision or lax.Precision.HIGHEST
-    pf = gram_ops.increment_gram_pair_fn(base)
+    pf = gram_ops.increment_gram_pair_fn(base, params)
     if pf is not None:
         return functools.partial(pf, precision=precision)
     if base_kern is None:
@@ -297,7 +298,8 @@ def make_pair_increment_fn(base: str, base_kern=None,
     return generic
 
 
-def make_pair_cross_fn(base: str, base_kern=None, precision=None):
+def make_pair_cross_fn(base: str, base_kern=None, precision=None,
+                       params=None):
     """``f(Xa_pts, Xb_pts) -> (N1, N2, La-1, Lb-1)`` outer increment Grams
     (the cross-example analogue of :func:`make_pair_increment_fn`): the
     cancellation-free closed form when ``base`` has one, else second
@@ -305,7 +307,7 @@ def make_pair_cross_fn(base: str, base_kern=None, precision=None):
     from ..ops import gram as gram_ops
 
     precision = precision or lax.Precision.HIGHEST
-    cross_fn, _ = gram_ops.increment_gram_fns(base)
+    cross_fn, _ = gram_ops.increment_gram_fns(base, params)
     if cross_fn is not None:
         return functools.partial(cross_fn, precision=precision)
     if base_kern is None:
@@ -518,7 +520,8 @@ def kernel_seq_diag_sp(kern, params, mesh, X, *, axis: str = "seq",
     _check_sp_kernel(kern)
     cp = kern.constrain(params)
     Xs = kern._scale_sequences(cp, X)
-    pair_fn = make_pair_increment_fn(kern.base, kern._base_kern(cp))
+    pair_fn = make_pair_increment_fn(kern.base, kern._base_kern(cp),
+                                     params=cp)
     lvls = seq_diag_levels_from_sequences(
         mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axis
     )
@@ -540,7 +543,7 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
     jitter = cfg.jitter()
     Xs = kern._scale_sequences(cp, X)
     base_kern = kern._base_kern(cp)
-    pair_cross = make_pair_cross_fn(kern.base, base_kern)
+    pair_cross = make_pair_cross_fn(kern.base, base_kern, params=cp)
 
     symm = X2 is None
     X2s = Xs if symm else kern._scale_sequences(cp, X2)
@@ -555,7 +558,8 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
             d1s = jnp.sqrt(jnp.diagonal(K_lvls, axis1=-2, axis2=-1))
             d2s = d1s
         else:
-            pair_fn = make_pair_increment_fn(kern.base, base_kern)
+            pair_fn = make_pair_increment_fn(kern.base, base_kern,
+                                             params=cp)
             d1 = seq_diag_levels_from_sequences(
                 mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axes[0]
             )
@@ -609,7 +613,8 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_xs", axis))
         Kxx_lvls = seq_cross_levels_from_sequences(
             mesh2, Xs, Xs, kern.num_levels,
-            pair_cross_fn=make_pair_cross_fn(kern.base, base_kern),
+            pair_cross_fn=make_pair_cross_fn(kern.base, base_kern,
+                                             params=cp),
             axes=("_xs", axis),
         )
         if kern.normalization:
@@ -636,7 +641,8 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     Kzx_lvls, Kxx_diag = tens_n_seq_levels_from_sequences(
         mesh, base_kern, Z, Xs, kern.num_levels,
         increments=increments,
-        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
+        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern,
+                                            params=cp),
         axis=axis, batch_axis=batch_axis,
     )
 
@@ -680,7 +686,7 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
     base_kern = kern._base_kern(cp)
     N1, N2 = Zs.shape[0], Xs.shape[0]
 
-    pair_cross = make_pair_cross_fn(kern.base, base_kern)
+    pair_cross = make_pair_cross_fn(kern.base, base_kern, params=cp)
     if batch_axis is None:
         mesh2 = Mesh(mesh.devices.reshape(1, -1), ("_zt", axis))
     else:
@@ -692,7 +698,8 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         )
     Kzx_lvls, Kxx_diag = seq_vs_seq_covs_from_sequences(
         mesh2, Zs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
-        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern),
+        diag_pair_fn=make_pair_increment_fn(kern.base, base_kern,
+                                            params=cp),
         axes=("_zt", axis), batch_axis=batch_axis,
     )
 

@@ -204,13 +204,16 @@ class TestSequencesInSP:
                                    rtol=1e-9, atol=1e-12)
 
     def test_diag_from_sequences_generic_base(self):
-        # matern32 has no closed-form increment algebra -> generic fallback
+        # non-integer-degree poly has no closed-form increment algebra
+        # (`ops/gram._poly_increment_maker` gate) -> generic fallback
         from gpsig_tpu.ops import base_kernels
         M_lvls, N, L = 3, 4, 16
         X = jnp.asarray(RNG.randn(N, L, 2) / np.sqrt(L))
         mesh = _seq_mesh()
-        kern_fn = lambda A, B=None: base_kernels.matern32({}, A, B)
-        pair_fn = seq_parallel.make_pair_increment_fn("matern32", kern_fn)
+        pp = {"poly_gamma": 1.0, "poly_degree": 2.5}
+        kern_fn = lambda A, B=None: base_kernels.poly(pp, A, B)
+        pair_fn = seq_parallel.make_pair_increment_fn("poly", kern_fn,
+                                                      params=pp)
         Xs = jax.device_put(X, NamedSharding(mesh, P(None, "seq", None)))
         out = seq_parallel.seq_diag_levels_from_sequences(
             mesh, Xs, M_lvls, pair_fn=pair_fn
