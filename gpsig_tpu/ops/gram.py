@@ -166,12 +166,16 @@ def _cosine_increment_diag(X, precision):
     return _cosine_increment_pair(X, X, precision)
 
 
-def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
-    """Cancellation-free rbf increment-Gram algebra, shared by the cross /
-    diag / pair variants (which differ only in the einsum subscripts and
-    where the per-side norm terms broadcast).  exp(A00)*(expm1(d01+d10+dxx)
-    - expm1(d01) - expm1(d10)) evaluates the second difference of the rbf
-    Gram without subtracting nearly-equal exponentials."""
+def _rbf_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free rbf corner-exponent geometry ``(A00, d01, d10,
+    dxx)`` with A(x,y) = -|x-y|^2/2 at the base corner and
+
+        d01 = A(x,y') - A(x,y) = <x,dy> - d(|y|^2)/2   (d10 symmetric)
+        dxx = A11 + A00 - A01 - A10 = <dx,dy>          (second difference)
+
+    — every gap a *small* quantity computed directly from difference
+    vectors; d(|x|^2) = <x'+x, dx> (no big-minus-big anywhere).  Shared by
+    the rbf increment core and the spectral-family envelopes."""
     Xa0, dXa = Xa[:, :-1], Xa[:, 1:] - Xa[:, :-1]
     Xb0, dXb = Xb[:, :-1], Xb[:, 1:] - Xb[:, :-1]
     # d(|x|^2)/(-2) per step, cancellation-free
@@ -187,6 +191,16 @@ def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     d01 = mm(Xa0, dXb) + dnb
     d10 = mm(dXa, Xb0) + dna
     dxx = mm(dXa, dXb)
+    return A00, d01, d10, dxx
+
+
+def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+    """Cancellation-free rbf increment-Gram algebra, shared by the cross /
+    diag / pair variants (which differ only in the einsum subscripts and
+    where the per-side norm terms broadcast).  exp(A00)*(expm1(d01+d10+dxx)
+    - expm1(d01) - expm1(d10)) evaluates the second difference of the rbf
+    Gram without subtracting nearly-equal exponentials."""
+    A00, d01, d10, dxx = _rbf_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b)
     return exp_accurate(A00) * (
         _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
         - _expm1_stable(d10)
@@ -538,12 +552,128 @@ def _poly_increment_maker(params):
     return _core_variants(core)
 
 
+def _cexpm1(a, b):
+    """Relatively-accurate complex ``exp(a+ib) - 1`` as an (re, im) pair.
+
+    ``re = expm1(a)*cos(b) - 2*sin(b/2)^2`` (both addends O(a)+O(b^2) —
+    no big-minus-big for small gaps), ``im = exp(a)*sin(b)``."""
+    re = _expm1_stable(a) * jnp.cos(b) - 2.0 * jnp.square(jnp.sin(0.5 * b))
+    return re, exp_accurate(a) * jnp.sin(b)
+
+
+def _spectral_family_core(Xa, Xb, precision, spec, bcast_a, bcast_b,
+                          *, alpha, omega, gamma, exp_family: bool):
+    """Cancellation-free spectral increment-Gram algebra (round-4 closure
+    of the last INCREMENT_GRAMS gap — after this, every base has a closed
+    form).
+
+    Each mixture component (reference `gpsig/kernels.py:894-942`) is
+
+        k_q(x,y) = alpha_q * exp(A_q(x,y)) * cos(B_q(x,y))
+                 = alpha_q * Re exp(A_q + i*B_q),
+        A_q = -|x_q - y_q|^2 / 2        (rbf family, x_q = gamma_q ⊙ x)
+            | -|x_q - y_q|   / 2        (exp family)
+        B_q = 2π <omega_q, x - y>,
+
+    so the second difference rides the *complex* matern12 factorization
+    ``e^{z00} (expm1(g01)expm1(g10) + e^{g01+g10} expm1(delta))`` with
+    z = A + iB.  The corner gaps decompose per part:
+
+    * A-gaps: the rbf family reuses `_rbf_gaps` on the gamma_q-scaled
+      inputs (delta_A = <dx_q, dy_q>); the exp family reuses
+      `_radius_gaps` (times -1/2) — both cancellation-free.
+    * B is *separable* (b(x) - b(y)), so its second difference is exactly
+      zero: delta is real, and the B-gaps are single-step phases
+      ``g01_B = -2π<omega, dy_t>``, ``g10_B = 2π<omega, dx_s>`` computed
+      directly from difference vectors.
+
+    Accuracy: each bracket term is a product of >= 2 relatively-accurate
+    small complex factors (`_cexpm1`), so entries hold ~eps *of the
+    complex magnitude*; where the final cos(B00)-rotation projects to a
+    real part much smaller than that magnitude, the error is absolute at
+    eps*O(gap^2) — still ~|K|/gap^2 better than the naive second
+    difference's eps*O(|K|).  Zero steps (repeat padding) zero every gap,
+    so padded entries contribute exactly 0 like the other cores'."""
+    dXa_ = Xa[:, 1:] - Xa[:, :-1]
+    dXb_ = Xb[:, 1:] - Xb[:, :-1]
+    two_pi = 2.0 * math.pi
+
+    def dot_w(V, w):
+        return jnp.einsum("...d,d->...", V, w, precision=precision)
+
+    def one_component(alpha_q, omega_q, gamma_q):
+        Xaq, Xbq = Xa * gamma_q, Xb * gamma_q
+        if exp_family:
+            r00, g01, g10, dlt = _radius_gaps(
+                Xaq, Xbq, precision, spec, bcast_a, bcast_b)
+            A00, a01, a10, da = (-0.5 * r00, -0.5 * g01, -0.5 * g10,
+                                 -0.5 * dlt)
+        else:
+            A00, a01, a10, da = _rbf_gaps(
+                Xaq, Xbq, precision, spec, bcast_a, bcast_b)
+        B00 = (bcast_a(two_pi * dot_w(Xa[:, :-1], omega_q))
+               - bcast_b(two_pi * dot_w(Xb[:, :-1], omega_q)))
+        b01 = bcast_b(-two_pi * dot_w(dXb_, omega_q))
+        b10 = bcast_a(two_pi * dot_w(dXa_, omega_q))
+        e01re, e01im = _cexpm1(a01, b01)
+        e10re, e10im = _cexpm1(a10, b10)
+        Zre = e01re * e10re - e01im * e10im
+        Zim = e01re * e10im + e01im * e10re
+        # + e^{g01+g10} * expm1(delta), delta real (B's 2nd diff is 0)
+        es = exp_accurate(a01 + a10) * _expm1_stable(da)
+        bsum = b01 + b10
+        Zre = Zre + es * jnp.cos(bsum)
+        Zim = Zim + es * jnp.sin(bsum)
+        return alpha_q * exp_accurate(A00) * (
+            jnp.cos(B00) * Zre - jnp.sin(B00) * Zim)
+
+    out = jax.vmap(one_component)(alpha, omega, gamma)  # (Q, ...)
+    return jnp.sum(out, axis=0)
+
+
+def _spectral_increment_maker(family: str):
+    """Maker for `PARAM_INCREMENT_GRAMS` — binds the constrained mixture
+    params (alpha (Q,), omega (Q,d), spec_gamma (Q,d)); 'mixed' splits the
+    components rbf/exp at Q//2 like `base_kernels.spectral`."""
+
+    def maker(params):
+        alpha = params["alpha"]
+        omega = params["omega"]
+        gamma = params["spec_gamma"]
+        Q = alpha.shape[0]
+
+        def core(Xa, Xb, precision, spec, bcast_a, bcast_b):
+            def run(sl, exp_family):
+                return _spectral_family_core(
+                    Xa, Xb, precision, spec, bcast_a, bcast_b,
+                    alpha=alpha[sl], omega=omega[sl], gamma=gamma[sl],
+                    exp_family=exp_family)
+
+            if family == "mixed":
+                Q1 = Q // 2
+                parts = []
+                if Q1 > 0:
+                    parts.append(run(slice(None, Q1), False))
+                if Q1 < Q:
+                    parts.append(run(slice(Q1, None), True))
+                return sum(parts)
+            return run(slice(None), family == "exp")
+
+        return _core_variants(core)
+
+    return maker
+
+
 # param-dependent closed forms: resolved lazily because the increment
 # algebra needs the kernel's constrained params (mixing weight, poly
-# gamma/degree) — `increment_gram_fns(base, params)` with params in scope
+# gamma/degree, spectral mixture) — `increment_gram_fns(base, params)`
+# with params in scope
 PARAM_INCREMENT_GRAMS = {
     "mix": _mix_increment_maker,
     "poly": _poly_increment_maker,
+    "spectral_rbf": _spectral_increment_maker("rbf"),
+    "spectral_exp": _spectral_increment_maker("exp"),
+    "spectral_mixed": _spectral_increment_maker("mixed"),
 }
 
 

@@ -1,0 +1,167 @@
+"""Cancellation-free spectral-family increment algebra (round-4 closure of
+the LAST INCREMENT_GRAMS gap — every base now has a closed form).
+
+Each mixture component (reference `gpsig/kernels.py:894-942`) is
+``alpha_q * exp(A_q) * cos(B_q) = alpha_q * Re exp(A_q + i B_q)`` with A_q
+the gamma_q-scaled rbf (family 'rbf') or half-radius (family 'exp')
+exponent and B_q = 2*pi*<omega_q, x - y>.  B is separable, so its second
+difference vanishes exactly and the corner algebra is the *complex*
+matern12 factorization over the shared rbf/radius gap geometry
+(`ops/gram._spectral_family_core`).
+
+The suite runs f64, where the naive second difference (reference
+`signature_algs.py:26`) is exact — the oracle for every comparison.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import pytest
+
+from gpsig_tpu import kernels
+from gpsig_tpu.ops import base_kernels, gram as gram_ops
+
+RNG = np.random.RandomState(57)
+HI = lax.Precision.HIGHEST
+
+BASES = ("spectral_rbf", "spectral_exp", "spectral_mixed")
+
+
+def _params(Q=5, d=3):
+    return {
+        "alpha": jnp.asarray(RNG.rand(Q) + 0.2),
+        "omega": jnp.asarray(np.exp(RNG.randn(Q, d) * 0.5)),
+        "spec_gamma": jnp.asarray(RNG.rand(Q, d) + 0.3),
+    }
+
+
+def _naive_cross(name, params, X, Y):
+    kf = base_kernels.get(name)
+    A, L1, d = X.shape
+    B, L2, _ = Y.shape
+    G = kf(params, X.reshape(A * L1, d), Y.reshape(B * L2, d)).reshape(
+        A, L1, B, L2).transpose(0, 2, 1, 3)
+    return (G[:, :, 1:, 1:] + G[:, :, :-1, :-1]
+            - G[:, :, :-1, 1:] - G[:, :, 1:, :-1])
+
+
+def _paths(n, L, d):
+    return jnp.asarray(RNG.randn(n, L, d).cumsum(axis=1) / np.sqrt(L))
+
+
+@pytest.mark.parametrize("base", BASES)
+def test_cross_matches_naive_second_difference_f64(base):
+    params = _params()
+    X, Y = _paths(3, 40, 3), _paths(4, 24, 3)
+    cross, _ = gram_ops.increment_gram_fns(base, params)
+    assert cross is not None
+    np.testing.assert_allclose(
+        np.asarray(cross(X, Y, HI)),
+        np.asarray(_naive_cross(base, params, X, Y)),
+        rtol=1e-10, atol=1e-13,
+    )
+
+
+@pytest.mark.parametrize("base", BASES)
+def test_pair_fn_and_diag_match_and_grads_finite(base):
+    """Same-path entries of the exp family hit the sqrt(eps)-limited
+    coincident-corner regime of `_radius_gaps` (like matern12) — hence the
+    looser atol; the rbf family stays eps-exact."""
+    params = _params(d=2)
+    X = _paths(3, 16, 2)
+    Y = _paths(3, 12, 2)
+    pf = gram_ops.increment_gram_pair_fn(base, params)
+    assert pf is not None
+    got = pf(X, Y, HI)
+    want = jax.vmap(
+        lambda a, b: _naive_cross(base, params, a[None], b[None])[0, 0]
+    )(X, Y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-7, atol=1e-8)
+    _, diag = gram_ops.increment_gram_fns(base, params)
+    g = jax.grad(lambda x: jnp.sum(diag(x, HI)))(X)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    gp = jax.grad(lambda p: jnp.sum(
+        gram_ops.increment_gram_fns(base, p)[1](X, HI)))(params)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(gp))
+
+
+@pytest.mark.parametrize("base", BASES)
+def test_f32_cross_beats_naive_at_long_L(base):
+    """The point of the closed form: f32 accuracy at long L vs the f64
+    oracle, on smooth (random-walk) paths where the naive second
+    difference cancels catastrophically."""
+    L = 512
+    params = _params()
+    X64, Y64 = _paths(2, L, 3), _paths(2, L, 3)
+    cross, _ = gram_ops.increment_gram_fns(base, params)
+    oracle = cross(X64, Y64, HI)
+    p32 = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), params)
+    cross32, _ = gram_ops.increment_gram_fns(base, p32)
+    ours = cross32(X64.astype(jnp.float32), Y64.astype(jnp.float32), HI)
+    naive = _naive_cross(base, p32, X64.astype(jnp.float32),
+                         Y64.astype(jnp.float32))
+    scale = float(jnp.max(jnp.abs(oracle)))
+    err = float(jnp.max(jnp.abs(ours - oracle))) / scale
+    err_naive = float(jnp.max(jnp.abs(naive - oracle))) / scale
+    assert err < 1e-4, err
+    assert err < 0.2 * err_naive, (err, err_naive)
+
+
+@pytest.mark.parametrize("base", BASES)
+def test_repeat_padding_increments_exactly_zero(base):
+    """Repeat-last padding (the repo's static-shape convention) must
+    contribute exactly-zero increments: zero steps zero every gap and
+    phase, so both bracket terms vanish identically."""
+    params = _params(d=2)
+    X = _paths(2, 6, 2)
+    Xp = jnp.concatenate([X, jnp.repeat(X[:, -1:], 3, axis=1)], axis=1)
+    cross, _ = gram_ops.increment_gram_fns(base, params)
+    M = cross(Xp, Xp, HI)
+    assert float(jnp.max(jnp.abs(M[:, :, 5:, :]))) == 0.0
+    assert float(jnp.max(jnp.abs(M[:, :, :, 5:]))) == 0.0
+
+
+def test_mixed_family_is_rbf_plus_exp_split_at_half():
+    """'mixed' must split components at Q//2 exactly like
+    `base_kernels.spectral` (first half rbf, second half exp)."""
+    params = _params(Q=4, d=2)
+    X, Y = _paths(2, 10, 2), _paths(2, 8, 2)
+    mixed, _ = gram_ops.increment_gram_fns("spectral_mixed", params)
+    half = {k: v[:2] for k, v in params.items()}
+    rest = {k: v[2:] for k, v in params.items()}
+    rbf_part, _ = gram_ops.increment_gram_fns("spectral_rbf", half)
+    exp_part, _ = gram_ops.increment_gram_fns("spectral_exp", rest)
+    np.testing.assert_allclose(
+        np.asarray(mixed(X, Y, HI)),
+        np.asarray(rbf_part(X, Y, HI) + exp_part(X, Y, HI)),
+        rtol=1e-12, atol=1e-15,
+    )
+
+
+@pytest.mark.parametrize("family", ("rbf", "exp", "mixed"))
+def test_blocked_gram_cross_and_grad_public_api(family):
+    """K_blocked (closed-form increments via `increment_gram_fns(base,
+    cp)`) == K (naive graph, f64-exact), normalized, through the public
+    kernel API — fwd and bwd."""
+    X = RNG.randn(6, 10, 2).cumsum(axis=1) / np.sqrt(10.0)
+    X2 = RNG.randn(5, 8, 2).cumsum(axis=1) / np.sqrt(8.0)
+    k = kernels.SignatureSpectral(2, 3, family=family, Q=4,
+                                  normalization=True)
+    p = k.init_params(jax.random.PRNGKey(3))
+    K_direct = k.K(p, jnp.asarray(X), jnp.asarray(X2))
+    K_blocked = k.K_blocked(p, jnp.asarray(X), jnp.asarray(X2),
+                            block_size=4)
+    np.testing.assert_allclose(np.asarray(K_blocked), np.asarray(K_direct),
+                               rtol=1e-6)
+    g = jax.grad(
+        lambda x: jnp.sum(k.K_blocked(p, x, jnp.asarray(X2), block_size=4))
+    )(jnp.asarray(X))
+    gd = jax.grad(
+        lambda x: jnp.sum(k.K(p, x, jnp.asarray(X2)))
+    )(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                               rtol=1e-5, atol=1e-7)
