@@ -203,15 +203,21 @@ def bench_selftest():
                 scale = float(jnp.max(jnp.abs(gx))) + 1e-30
                 check(f"{name} bwd", gf / scale, gx / scale, 1e-2)
 
-    # Closed-form increment algebra (VERDICT r4 item 6 + the r4 extension
-    # to every non-spectral base): the blocked MXU path rides the
-    # `ops/gram` cancellation-free increment cores on the chip; at L=33
-    # the naive reference graph is still accurate enough to pin
-    # consistency (the closed forms' advantage grows with L — accuracy
-    # table in PERF.md).  fwd + bwd through the public kernel API.
-    # cosine runs on shifted paths: zero-norm observations have no cosine
-    # limit (`ops/gram._unit_steps` contract).
+    # Unified capability-based dispatch (VERDICT r4 item 2): every base
+    # with a closed-form increment algebra routes the PUBLIC ``K()`` (and
+    # the inducing covariances, below) through the cancellation-free fast
+    # paths in f32 — fused Pallas where supported, blocked MXU closed
+    # forms otherwise.  The naive reference-shaped graph is pinned with
+    # ``fused='off'`` (at L=33 it is still accurate enough to compare; the
+    # closed forms' advantage grows with L — accuracy table in PERF.md).
+    # fwd + bwd through the public kernel API.  cosine runs on shifted
+    # paths: zero-norm observations have no cosine limit
+    # (`ops/gram._unit_steps` contract).
     Xs_ = X + 0.5
+    y3 = rng.randint(0, 3, N)
+    Z3 = gp_utils.suggest_initial_inducing_tensors(
+        np.asarray(X), M, 8, labels=y3, increments=True, seed=0
+    ).astype(np.float32)
     for mb, mcls, kw, Xb in (
             ("matern12", kernels.SignatureMatern12, {}, X),
             ("matern32", kernels.SignatureMatern32, {}, X),
@@ -219,17 +225,26 @@ def bench_selftest():
             ("cosine", kernels.SignatureCosine, {}, Xs_),
             ("mix", kernels.SignatureMix, {}, X),
             ("poly", kernels.SignaturePoly,
-             {"gamma": 1.0, "degree": 3}, X)):
+             {"gamma": 1.0, "degree": 3}, X),
+            ("spectral", kernels.SignatureSpectral,
+             {"family": "mixed", "Q": 4}, X)):
         km = mcls(d, M, normalization=True, **kw)
+        ko = mcls(d, M, normalization=True, fused="off", **kw)
         pm_ = km.init_params()
-        Km_b = jax.jit(lambda x: km.K_blocked(pm_, x, block_size=8))(Xb)
-        Km_n = jax.jit(lambda x: km.K(pm_, x))(Xb)
-        check(f"K {mb} blocked(closed form) vs naive fwd", Km_b, Km_n, 5e-3)
-        gmb = jax.jit(jax.grad(
-            lambda x: jnp.sum(km.K_blocked(pm_, x, block_size=8))))(Xb)
-        gmn = jax.jit(jax.grad(lambda x: jnp.sum(km.K(pm_, x))))(Xb)
+        Km_b = jax.jit(lambda x: km.K(pm_, x))(Xb)  # public fast path
+        Km_n = jax.jit(lambda x: ko.K(pm_, x))(Xb)  # reference graph
+        check(f"K {mb} public(closed form) vs naive fwd", Km_b, Km_n, 5e-3)
+        gmb = jax.jit(jax.grad(lambda x: jnp.sum(km.K(pm_, x))))(Xb)
+        gmn = jax.jit(jax.grad(lambda x: jnp.sum(ko.K(pm_, x))))(Xb)
         sm = float(jnp.max(jnp.abs(gmn))) + 1e-30
-        check(f"K {mb} blocked vs naive bwd", gmb / sm, gmn / sm, 1e-2)
+        check(f"K {mb} public vs naive bwd", gmb / sm, gmn / sm, 1e-2)
+        Zb = jnp.asarray(Z3 + (0.5 if mb == "cosine" else 0.0))
+        cf = jax.jit(lambda z, x: km.K_tens_n_seq_covs(
+            pm_, z, x, increments=True))(Zb, Xb)
+        cn = jax.jit(lambda z, x: ko.K_tens_n_seq_covs(
+            pm_, z, x, increments=True))(Zb, Xb)
+        for leg, a, b in zip(("Kzz", "Kzx", "Kxx"), cf, cn):
+            check(f"inducing {mb} {leg} public vs naive fwd", a, b, 5e-3)
 
     # unnormalized Kdiag: hits the blocked-MXU _K_seq_diag branch directly
     # (under normalization the returned diag is a constant, so this is the

@@ -194,17 +194,159 @@ def _rbf_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
     return A00, d01, d10, dxx
 
 
+_EXP_CLIP = 40.0  # |gap| clip for the identity branch's exponentials
+
+
+def bracket_second_diff(A00, a01, a10, da, *, exp=exp_accurate,
+                        expm1=_expm1_stable):
+    """Numerically-robust exponential second difference
+
+        D = e^{A11} - e^{A01} - e^{A10} + e^{A00},
+        A01 = A00 + a01,  A10 = A00 + a10,  A11 = A00 + a01 + a10 + da,
+
+    with all corner exponents A_ij <= 0 (true for every kernel that uses
+    this: rbf d-gaps, matern12 radius gaps, spectral envelopes).  Shared by
+    the rbf and matern12 increment cores and — dots-level, pure
+    elementwise — reusable inside the fused Pallas kernels.
+
+    Two exact evaluations, selected per entry:
+
+    * **identity** ``e^{A00}*expm1(a01)*expm1(a10)
+      + e^{A00+a01+a10}*expm1(da)`` (second exponent combined BEFORE exp:
+      it is ``A11 - da``): cancellation-free — eps-relative — whenever its
+      two groups stay within the corner scale
+      ``M = max(1, e^{a01}, e^{a10}, e^{a01+a10+da})`` (bracket units).
+      Outside that (both gaps large positive with ``da`` large negative —
+      the "overlap" regime; or gaps beyond the exp clip) the groups are
+      spurious big-minus-big and the form degrades.
+    * **naive corner sum** with every exponent clipped to <= 0: its error
+      is eps*M absolute, which is eps-relative in the result exactly when
+      the identity's groups exceed M (the answer is then comparable to M).
+
+    The selector — ``max(|group1|, |group2|) <= 2*M`` and no clip active —
+    therefore always picks an eps-relative evaluation.  It is computed
+    under ``stop_gradient`` and both lanes are finite for any input
+    (identity inputs clipped to +-40; unselected-lane grads stay finite —
+    the double-where pattern), so the VJP is NaN-free.
+
+    Without the split, far pairs under short fitted lengthscales (gaps ~
+    r*|step|, unbounded) multiply a clamped ``e^-87`` (`exp_accurate`
+    clips at +-87/88) by a clamped ``e^+88`` into O(1) garbage per entry —
+    the exact regime VERDICT r4 weak #4 flags."""
+    c = _EXP_CLIP
+    a01s = jnp.clip(a01, -c, c)
+    a10s = jnp.clip(a10, -c, c)
+    das = jnp.clip(da, -c, c)
+    eA = exp(A00)
+    g1 = expm1(a01s) * expm1(a10s)
+    sum_s = jnp.minimum(A00 + a01s + a10s, c)
+    g2 = exp(sum_s) * expm1(das)
+    ident = eA * g1 + g2
+
+    # selection in bracket units (relative to e^{A00}), stop-gradient
+    t1 = jnp.abs(g1)
+    t2 = exp(jnp.minimum(a01s + a10s, c)) * jnp.abs(expm1(das))
+    M = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            exp(jnp.minimum(jnp.maximum(a01, a10), c)),
+            exp(jnp.minimum(a01 + a10 + da, c)),
+        ),
+    )
+    ok = (
+        (jnp.maximum(t1, t2) <= 2.0 * M)
+        & (jnp.abs(a01) < c) & (jnp.abs(a10) < c) & (jnp.abs(da) < c)
+    )
+    ok = lax.stop_gradient(ok)
+
+    def corner(t):
+        return exp(jnp.minimum(t, 0.0))
+
+    naive = (corner(A00 + a01 + a10 + da) - corner(A00 + a01)
+             - corner(A00 + a10) + eA)
+    return jnp.where(ok, ident, naive)
+
+
 def _rbf_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
     """Cancellation-free rbf increment-Gram algebra, shared by the cross /
     diag / pair variants (which differ only in the einsum subscripts and
-    where the per-side norm terms broadcast).  exp(A00)*(expm1(d01+d10+dxx)
-    - expm1(d01) - expm1(d10)) evaluates the second difference of the rbf
-    Gram without subtracting nearly-equal exponentials."""
+    where the per-side norm terms broadcast).  See `bracket_second_diff`
+    for the identity and the far-pair regime split."""
     A00, d01, d10, dxx = _rbf_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b)
-    return exp_accurate(A00) * (
-        _expm1_stable(d01 + d10 + dxx) - _expm1_stable(d01)
-        - _expm1_stable(d10)
+    return bracket_second_diff(A00, d01, d10, dxx)
+
+
+def radius_gaps_from_dots(A00, d01, d10, dxx, ndx, ndy, *, tiny_sq):
+    """Cancellation-free corner-distance geometry from the four corner
+    inner-product gaps (see `_radius_gaps` for the derivation and the
+    accuracy characterization): ``(r00, g01, g10, delta)`` with
+
+        g01 = -2*d01 / (r01 + r00)          g10 = -2*d10 / (r10 + r00)
+        u   = (r10 + r00) - (r11 + r01)
+            = 2*(d01+dxx)/(r10+r11) + 2*d01/(r00+r01)
+        delta = -2*dxx/(r11+r01) - 2*d10*u/((r11+r01)*(r10+r00))
+
+    Inputs are *small, exactly-computed* quantities (``A00 = -r00^2/2``,
+    ``d01/d10`` the one-step inner-product gaps, ``dxx = <dx, dy>``) plus
+    the per-step norms ``ndx``/``ndy`` used as triangle-inequality floors
+    on the denominators.  Dots-level so the fused Pallas kernels can reuse
+    the algebra on in-VMEM matmul results."""
+    r00sq = jnp.maximum(-2.0 * A00, 0.0)
+    r00 = jnp.sqrt(jnp.maximum(r00sq, tiny_sq))
+
+    def radius(s):
+        return jnp.sqrt(jnp.maximum(r00sq + s, tiny_sq))
+
+    r01 = radius(-2.0 * d01)
+    r10 = radius(-2.0 * d10)
+    r11 = radius(-2.0 * (d01 + d10 + dxx))
+    tiny = 1e-30
+
+    def over(num, den, floor):
+        return num / jnp.maximum(den, jnp.maximum(floor, tiny))
+
+    g01 = over(-2.0 * d01, r01 + r00, ndy)
+    g10 = over(-2.0 * d10, r10 + r00, ndx)
+    u = (over(2.0 * (d01 + dxx), r10 + r11, ndy)
+         + over(2.0 * d01, r00 + r01, ndy))
+    delta = (over(-2.0 * dxx, r11 + r01, ndx)
+             - over(2.0 * d10, r10 + r00, ndx)
+             * over(u, r11 + r01, ndx))
+    return r00, g01, g10, delta
+
+
+def mat12_cross_from_dots(A00, d01, d10, dxx, ndx, ndy, *,
+                          exp=exp_accurate, expm1=_expm1_stable,
+                          tiny_sq=1e-36):
+    """matern12 second-difference increment Gram from corner dots (the
+    `_matern12_increment_core` bracket identity, dots-level for Pallas
+    reuse): ``exp(-r00) * (exp(-(g01+g10)) * expm1(-delta)
+    + expm1(-g01) * expm1(-g10))``."""
+    r00, g01, g10, delta = radius_gaps_from_dots(
+        A00, d01, d10, dxx, ndx, ndy, tiny_sq=tiny_sq)
+    return exp(-r00) * (
+        exp(-(g01 + g10)) * expm1(-delta) + expm1(-g01) * expm1(-g10)
     )
+
+
+def mat12_onesided_from_dots(A00, d10, ndx, *, exp=exp_accurate,
+                             expm1=_expm1_stable, tiny_sq=1e-36):
+    """One-sided matern12 difference ``k(x', y) - k(x, y)`` from dots:
+    ``exp(-r00) * expm1(-g10)`` with ``g10 = -2*d10 / (r10 + r00)``
+    floored by the step norm (triangle inequality) — the fused Kzx
+    kernel's ``increments and not difference`` leg (and, swapped, the
+    ``difference and not increments`` leg)."""
+    r00sq = jnp.maximum(-2.0 * A00, 0.0)
+    r00 = jnp.sqrt(jnp.maximum(r00sq, tiny_sq))
+    r10 = jnp.sqrt(jnp.maximum(r00sq - 2.0 * d10, tiny_sq))
+    g10 = -2.0 * d10 / jnp.maximum(r10 + r00, jnp.maximum(ndx, 1e-30))
+    return exp(-r00) * expm1(-g10)
+
+
+def mat12_plain_from_dots(A00, *, exp=exp_accurate, tiny_sq=1e-36):
+    """Plain matern12 Gram entry ``exp(-r00)`` from ``A00 = -r00^2/2``."""
+    r00 = jnp.sqrt(jnp.maximum(jnp.maximum(-2.0 * A00, 0.0), tiny_sq))
+    return exp(-r00)
 
 
 def _radius_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
@@ -218,18 +360,12 @@ def _radius_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
     (x_s or x_{s+1}) vs (y_t or y_{t+1}).  Every output is a quotient of
     *small, exactly-computed* squared-radius differences over O(r)
     denominators (the same inner-product terms the rbf core uses:
-    ``r01^2 - r00^2 = -2*d01`` etc.):
-
-        g01 = -2*d01 / (r01 + r00)          g10 = -2*d10 / (r10 + r00)
-        u   = (r10 + r00) - (r11 + r01)
-            = 2*(d01+dxx)/(r10+r11) + 2*d01/(r00+r01)
-        delta = -2*dxx/(r11+r01) - 2*d10*u/((r11+r01)*(r10+r00))
-
-    so nothing big-minus-big survives anywhere.  Each denominator is
-    floored by a triangle-inequality bound that holds mathematically and
-    only corrects floating-point violations near coincident corners:
-    ``r00 + r01 >= |dy|`` (both radii share x_s, so the y-step fits
-    between them), ``r10 + r11 >= |dy|`` (share x_{s+1}),
+    ``r01^2 - r00^2 = -2*d01`` etc.) — see `radius_gaps_from_dots` for the
+    quotient algebra; nothing big-minus-big survives anywhere.  Each
+    denominator is floored by a triangle-inequality bound that holds
+    mathematically and only corrects floating-point violations near
+    coincident corners: ``r00 + r01 >= |dy|`` (both radii share x_s, so
+    the y-step fits between them), ``r10 + r11 >= |dy|`` (share x_{s+1}),
     ``r10 + r00 >= |dx|`` (share y_t), ``r11 + r01 >= |dx|`` (share
     y_{t+1}).
     Zero steps (repeat padding) make every numerator exactly 0, so padded
@@ -264,28 +400,8 @@ def _radius_gaps(Xa, Xb, precision, spec, bcast_a, bcast_b):
     d01 = mm(Xa0, dXb) + dnb              # (A01 - A00): -(r01^2 - r00^2)/2
     d10 = mm(dXa, Xb0) + dna
     dxx = mm(dXa, dXb)
-    r00sq = jnp.maximum(-2.0 * A00, 0.0)
-    r00 = jnp.sqrt(jnp.maximum(r00sq, tiny_sq))
-
-    def radius(s):
-        return jnp.sqrt(jnp.maximum(r00sq + s, tiny_sq))
-
-    r01 = radius(-2.0 * d01)
-    r10 = radius(-2.0 * d10)
-    r11 = radius(-2.0 * (d01 + d10 + dxx))
-    tiny = 1e-30
-
-    def over(num, den, floor):
-        return num / jnp.maximum(den, jnp.maximum(floor, tiny))
-
-    g01 = over(-2.0 * d01, r01 + r00, ndy)
-    g10 = over(-2.0 * d10, r10 + r00, ndx)
-    u = (over(2.0 * (d01 + dxx), r10 + r11, ndy)
-         + over(2.0 * d01, r00 + r01, ndy))
-    delta = (over(-2.0 * dxx, r11 + r01, ndx)
-             - over(2.0 * d10, r10 + r00, ndx)
-             * over(u, r11 + r01, ndx))
-    return r00, g01, g10, delta
+    return radius_gaps_from_dots(A00, d01, d10, dxx, ndx, ndy,
+                                 tiny_sq=tiny_sq)
 
 
 def _matern12_increment_core(Xa, Xb, precision, spec, bcast_a, bcast_b):
@@ -593,7 +709,21 @@ def _spectral_family_core(Xa, Xb, precision, spec, bcast_a, bcast_b,
     real part much smaller than that magnitude, the error is absolute at
     eps*O(gap^2) — still ~|K|/gap^2 better than the naive second
     difference's eps*O(|K|).  Zero steps (repeat padding) zero every gap,
-    so padded entries contribute exactly 0 like the other cores'."""
+    so padded entries contribute exactly 0 like the other cores'.
+
+    Like `bracket_second_diff` (the real-envelope case), the identity is
+    regime-split per entry: the rbf family's A-gaps grow like r*|step|
+    (unbounded under short fitted scales), and the identity form then
+    multiplies clamped over/underflowed exponentials into O(1) garbage.
+    The selector is the complex-magnitude version of the same rule —
+    identity iff its two group magnitudes stay within the corner envelope
+    scale ``M = max(1, e^{a01}, e^{a10}, e^{a01+a10+da})`` (bracket units;
+    threshold 4*M since phase factors contribute up to |cexpm1| = 2 per
+    group with no cancellation risk: |(e^{ib}-1)| = 2|sin(b/2)| is small
+    exactly when the group is small) — else the naive corner sum with
+    exponents clipped <= 0, whose eps*M absolute error is eps-relative
+    there because the un-cancelled groups dominate the result.  Phase (B)
+    gaps never overflow and never force the switch."""
     dXa_ = Xa[:, 1:] - Xa[:, :-1]
     dXb_ = Xb[:, 1:] - Xb[:, :-1]
     two_pi = 2.0 * math.pi
@@ -615,17 +745,50 @@ def _spectral_family_core(Xa, Xb, precision, spec, bcast_a, bcast_b,
                - bcast_b(two_pi * dot_w(Xb[:, :-1], omega_q)))
         b01 = bcast_b(-two_pi * dot_w(dXb_, omega_q))
         b10 = bcast_a(two_pi * dot_w(dXa_, omega_q))
-        e01re, e01im = _cexpm1(a01, b01)
-        e10re, e10im = _cexpm1(a10, b10)
-        Zre = e01re * e10re - e01im * e10im
-        Zim = e01re * e10im + e01im * e10re
-        # + e^{g01+g10} * expm1(delta), delta real (B's 2nd diff is 0)
-        es = exp_accurate(a01 + a10) * _expm1_stable(da)
+        c = _EXP_CLIP
+        a01s = jnp.clip(a01, -c, c)
+        a10s = jnp.clip(a10, -c, c)
+        das = jnp.clip(da, -c, c)
+        eA = exp_accurate(A00)
+        e01re, e01im = _cexpm1(a01s, b01)
+        e10re, e10im = _cexpm1(a10s, b10)
+        Zre = eA * (e01re * e10re - e01im * e10im)
+        Zim = eA * (e01re * e10im + e01im * e10re)
+        # + e^{A00+g01+g10} * expm1(delta), delta real (B's 2nd diff is 0);
+        # exponent combined BEFORE exp: A00+a01+a10 = A11 - da <= |da|
+        es = exp_accurate(A00 + a01s + a10s) * _expm1_stable(das)
         bsum = b01 + b10
         Zre = Zre + es * jnp.cos(bsum)
         Zim = Zim + es * jnp.sin(bsum)
-        return alpha_q * exp_accurate(A00) * (
-            jnp.cos(B00) * Zre - jnp.sin(B00) * Zim)
+        ident = jnp.cos(B00) * Zre - jnp.sin(B00) * Zim
+
+        # group-magnitude selector in bracket units (see docstring)
+        t1 = jnp.sqrt(
+            (e01re * e01re + e01im * e01im)
+            * (e10re * e10re + e10im * e10im)
+        )
+        t2 = exp_accurate(jnp.minimum(a01s + a10s, c)) * jnp.abs(
+            _expm1_stable(das))
+        Mcs = jnp.maximum(
+            1.0,
+            jnp.maximum(
+                exp_accurate(jnp.minimum(jnp.maximum(a01, a10), c)),
+                exp_accurate(jnp.minimum(a01 + a10 + da, c)),
+            ),
+        )
+        ok = (
+            (jnp.maximum(t1, t2) <= 4.0 * Mcs)
+            & (jnp.abs(a01) < c) & (jnp.abs(a10) < c) & (jnp.abs(da) < c)
+        )
+        ok = lax.stop_gradient(ok)
+
+        def corner(t, ph):
+            return exp_accurate(jnp.minimum(t, 0.0)) * jnp.cos(B00 + ph)
+
+        naive = (corner(A00 + a01 + a10 + da, bsum)
+                 - corner(A00 + a01, b01) - corner(A00 + a10, b10)
+                 + eA * jnp.cos(B00))
+        return alpha_q * jnp.where(ok, ident, naive)
 
     out = jax.vmap(one_component)(alpha, omega, gamma)  # (Q, ...)
     return jnp.sum(out, axis=0)
@@ -923,3 +1086,79 @@ def blocked_first_order_levels_diag(base_kern, X, *, num_levels: int,
     if use_inc:
         K = K.at[1].set(level1_exact_diag(increment_diag_fn, X, precision))
     return K
+
+
+# ---------------------------------------------------------------------------
+# closed-form inducing covariances (unified base dispatch, VERDICT r4 item 2)
+#
+# With ``increments=True`` each packed inducing slot holds a PAIR (z0, z1)
+# — i.e. a 2-point path — so the cancellation-free *cross* increment Grams
+# above apply verbatim: ``cross(Z_k, Z_k)`` is the Kzz slot's second
+# difference (reference `kernels.py:274-277`), and ``cross(Z_k, X)`` is the
+# Kzx slot's (z-increment x time-increment) entry
+# (`signature_algs.py:114`).  This reaches every base with a closed form —
+# the bases without a fused Pallas kernel route here from the public API.
+# ---------------------------------------------------------------------------
+
+
+def tens_slot_grams(increment_fn, Z, precision=lax.Precision.HIGHEST):
+    """(lt, nZ, nZ) cancellation-free Kzz slot Grams for incremental
+    inducing tensors Z (lt, nZ, 2, d)."""
+    return jax.vmap(
+        lambda Zk: increment_fn(Zk, Zk, precision)[:, :, 0, 0]
+    )(Z)
+
+
+def tens_vs_seq_slot_grams(increment_fn, Z, X,
+                           precision=lax.Precision.HIGHEST):
+    """(lt, nZ, N, L-1) cancellation-free Kzx slot Grams (pre-differenced
+    over time) for incremental inducing tensors Z (lt, nZ, 2, d) against
+    sequences X (N, L, d)."""
+    return jax.vmap(
+        lambda Zk: increment_fn(Zk, X, precision)[:, :, 0, :]
+    )(Z)
+
+
+def tens_vs_seq_levels_mxu(M, num_levels: int, order: int = 1,
+                           precision=lax.Precision.HIGHEST):
+    """(M+1, nZ, N) tensor-vs-sequence level kernels from PRE-DIFFERENCED
+    slot Grams M (lt, nZ, N, Lm).
+
+    Same math as ``signature.signature_kern_tens_vs_seq_first_order`` /
+    ``_higher_order`` with ``difference=False`` (reference
+    `signature_algs.py:101-160`), but the exclusive time cumsum is a
+    strictly-triangular-ones matmul — one MXU pass instead of XLA's
+    log-step shift-add ladder over the (lt, nZ, N, Lm) stack."""
+    lt, nZ, N, Lm = M.shape
+    A = _tri_ones(Lm, M.dtype).T  # [l, m] = 1 iff l < m: exclusive cumsum
+
+    def cum(R):
+        flat = R.reshape(-1, Lm)
+        out = jnp.matmul(flat, A, precision=precision)
+        return out.reshape(R.shape)
+
+    K = [jnp.ones((nZ, N), dtype=M.dtype)]
+    k = 0
+    if order == 1:
+        for i in range(1, num_levels + 1):
+            R = M[k]
+            k += 1
+            for _ in range(1, i):
+                R = M[k] * cum(R)
+                k += 1
+            K.append(jnp.sum(R, axis=-1))
+    else:
+        # (order)-deep list of running partial tensors with 1/(l+1)
+        # scalings (`signature_algs.py:129-160`)
+        for i in range(1, num_levels + 1):
+            R = [M[k]]
+            k += 1
+            for j in range(1, i):
+                dep = min(j + 1, order)
+                R_next = [M[k] * cum(sum(R))]
+                for l in range(1, dep):
+                    R_next.append((1.0 / (l + 1)) * M[k] * R[l - 1])
+                R = R_next
+                k += 1
+            K.append(jnp.sum(sum(R), axis=-1))
+    return jnp.stack(K, axis=0)

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gram import exp_accurate
-from .signature_pallas import _expm1, _make_cumsums
+from .signature_pallas import SUPPORTED_BASES, _expm1, _make_cumsums
 
 f32 = jnp.float32
 
@@ -402,7 +402,7 @@ def fused_tensor_levels(Z, *, num_levels: int, base: str = "rbf",
     Z: (lt, nZ, 2, d) with increments, else (lt, nZ, d); lt = M(M+1)/2.
     Differentiable via a fused backward kernel.
     """
-    if base not in ("rbf", "linear"):
+    if base not in SUPPORTED_BASES:
         raise ValueError(f"unsupported base {base!r} for the fused kernel")
     nZ = Z.shape[1]
     BN = min(block, max(128, -(-nZ // 8) * 8))
@@ -705,7 +705,7 @@ def fused_tens_vs_seq_levels(Z, X, *, num_levels: int, base: str = "rbf",
     (`pick_x_block`).  Differentiable via a fused backward kernel.
     Reference hot loop: `gpsig/signature_algs.py:101-127`.
     """
-    if base not in ("rbf", "linear"):
+    if base not in SUPPORTED_BASES:
         raise ValueError(f"unsupported base {base!r} for the fused kernel")
     nZ = Z.shape[1]
     N, L, d = X.shape

@@ -63,6 +63,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gram import exp_accurate
 
+# bases with an in-kernel cancellation-free increment algebra; the
+# dispatch layer (`kernels.SignatureKernel._fused_supported`) keys off
+# this, so extending the kernels automatically extends the public API's
+# fast path
+SUPPORTED_BASES = ("rbf", "linear")
+
+
 def _expm1(x):
     """exp(x) - 1 with a Taylor branch for small |x| (Mosaic's exp is only
     ~4e-6-accurate; the Taylor branch keeps the error *relative* to x).
@@ -636,7 +643,7 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     Differentiable: a custom VJP runs the backward pass as a second fused
     Pallas kernel (see ``_bwd_call``).
     """
-    if base not in ("rbf", "linear"):
+    if base not in SUPPORTED_BASES:
         raise ValueError(f"unsupported base {base!r} for the fused kernel")
     symmetric = X2 is None
     if X2 is None:
