@@ -69,7 +69,8 @@ def param_shardings(mesh: Mesh, model, params) -> dict:
     from ..inducing import InducingTensors
 
     repl = NamedSharding(mesh, P())
-    z_axis = 1 if isinstance(model.ind, InducingTensors) else 0
+    ind = getattr(model.ind, "_base", model.ind)  # unwrap SP drop-ins
+    z_axis = 1 if isinstance(ind, InducingTensors) else 0
 
     def spec_for(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
