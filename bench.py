@@ -185,7 +185,7 @@ def bench_selftest():
         if not ok:
             failures.append((name, err, tol))
 
-    for base in ("rbf", "linear"):
+    for base in ("rbf", "linear", "matern12"):
         for order in (1, 2):
             kf = kernels.SignatureKernel(d, M, base=base, order=order,
                                          fused="on")

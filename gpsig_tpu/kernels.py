@@ -51,6 +51,12 @@ def _as_sequences(X, num_features: int):
     return X
 
 
+def _sp_supported_bases():
+    from .ops import signature_pallas as sp
+
+    return sp.SUPPORTED_BASES
+
+
 def _auto_gram_block(N: int, L: int, budget_bytes: int = 128 * 2**20) -> int:
     """Example-block size for the blocked MXU Gram path: the largest block
     whose (B, B, L-1, L-1) f32 increment tile fits the budget (a few live
@@ -400,7 +406,8 @@ class SignatureKernel:
                 f"this configuration (base={self.base!r}, "
                 f"x64={jax.config.jax_enable_x64}, "
                 f"backend={jax.default_backend()!r}); they require a "
-                "TPU backend, f32 regime, and an rbf/linear base"
+                "TPU backend, f32 regime, and a base in "
+                f"{_sp_supported_bases()}"
             )
         return ok
 

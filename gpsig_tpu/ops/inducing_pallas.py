@@ -41,8 +41,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gram import exp_accurate
-from .signature_pallas import SUPPORTED_BASES, _expm1, _make_cumsums
+from .gram import (exp_accurate, mat12_cross_from_dots,
+                   mat12_onesided_from_dots, mat12_plain_from_dots)
+from .signature_pallas import (SUPPORTED_BASES, _expm1, _make_cumsums,
+                               _norm_chain_col, _norm_chain_row, _step_norms)
 
 f32 = jnp.float32
 
@@ -153,6 +155,13 @@ def _slot_gram_zz(vl, dl, vr, dr, base, increments):
     if base == "linear":
         return _hdot(dl, dr) if increments else _hdot(vl, vr)
     A00 = _hdot(vl, vr)
+    if base == "matern12":
+        if not increments:
+            return mat12_plain_from_dots(A00, exp=exp_accurate)
+        ndx, ndy = _step_norms(dl, dr)
+        return mat12_cross_from_dots(
+            A00, _hdot(vl, dr), _hdot(dl, vr), _hdot(dl, dr), ndx, ndy,
+            exp=exp_accurate, expm1=_expm1)
     if not increments:
         return exp_accurate(A00)
     d01 = _hdot(vl, dr)
@@ -170,6 +179,26 @@ def _slot_gram_zz_bwd(vl, dl, vr, dr, Mbar, base, increments):
         if increments:
             return z, _lgrad(dr, Mbar), jnp.zeros_like(vr), _rgrad(dl, Mbar)
         return _lgrad(vr, Mbar), z, _rgrad(vl, Mbar), jnp.zeros_like(dr)
+    if base == "matern12":
+        A00 = _hdot(vl, vr)
+        if not increments:
+            _, vjp = jax.vjp(
+                lambda a: mat12_plain_from_dots(a, exp=exp_accurate), A00)
+            W, = vjp(Mbar)
+            return _lgrad(vr, W), z, _rgrad(vl, W), jnp.zeros_like(dr)
+        ndx, ndy = _step_norms(dl, dr)
+        _, vjp = jax.vjp(
+            lambda args: mat12_cross_from_dots(
+                *args, exp=exp_accurate, expm1=_expm1),
+            (A00, _hdot(vl, dr), _hdot(dl, vr), _hdot(dl, dr), ndx, ndy))
+        (W_A00, W_d01, W_d10, W_dxx, W_nx, W_ny), = vjp(Mbar)
+        g_vl = _lgrad(vr, W_A00) + _lgrad(dr, W_d01)
+        g_dl = (_lgrad(vr, W_d10) + _lgrad(dr, W_dxx)
+                + _norm_chain_col(dl, W_nx, ndx))
+        g_vr = _rgrad(vl, W_A00) + _rgrad(dl, W_d10)
+        g_dr = (_rgrad(vl, W_d01) + _rgrad(dl, W_dxx)
+                + _norm_chain_row(dr, W_ny, ndy))
+        return g_vl, g_dl, g_vr, g_dr
     A00 = _hdot(vl, vr)
     eA = exp_accurate(A00)
     if not increments:
@@ -509,6 +538,27 @@ def _slot_gram_zx(vl, dl, xv, xd, base, increments, difference, tail_mask):
             M = _hdot(vl, xd) if difference else _hdot(vl, xv)
         return M if tail_mask is None else M * tail_mask
     A0 = _hdot(vl, xv)
+    if base == "matern12":
+        # lhs step = the slot's (z0 -> z1) increment, rhs step = the time
+        # increment; the dots-level closed forms take (A00, d01=time gap,
+        # d10=z gap, dxx) with the matching step-norm floors
+        if increments:
+            dZA = _hdot(dl, xv)
+            if difference:
+                ndz, ndt = _step_norms(dl, xd)
+                return mat12_cross_from_dots(
+                    A0, _hdot(vl, xd), dZA, _hdot(dl, xd), ndz, ndt,
+                    exp=exp_accurate, expm1=_expm1)
+            ndz, _ = _step_norms(dl, xd)
+            M = mat12_onesided_from_dots(A0, dZA, ndz, exp=exp_accurate,
+                                         expm1=_expm1)
+            return M if tail_mask is None else M * tail_mask
+        if difference:
+            _, ndt = _step_norms(dl, xd)
+            return mat12_onesided_from_dots(A0, _hdot(vl, xd), ndt,
+                                            exp=exp_accurate, expm1=_expm1)
+        M = mat12_plain_from_dots(A0, exp=exp_accurate)
+        return M if tail_mask is None else M * tail_mask
     if increments:
         dZA = _hdot(dl, xv)
         if difference:
@@ -543,6 +593,46 @@ def _slot_gram_zx_bwd(vl, dl, xv, xd, Mbar, base, increments, difference,
         g_xv = zx if difference else g_rhs
         g_xd = g_rhs if difference else zx
         return g_vl, g_dl, g_xv, g_xd
+    if base == "matern12":
+        A0 = _hdot(vl, xv)
+        if increments and difference:
+            ndz, ndt = _step_norms(dl, xd)
+            _, vjp = jax.vjp(
+                lambda args: mat12_cross_from_dots(
+                    *args, exp=exp_accurate, expm1=_expm1),
+                (A0, _hdot(vl, xd), _hdot(dl, xv), _hdot(dl, xd), ndz, ndt))
+            (W_A0, W_dA0, W_dZA, W_ddA, W_nz, W_nt), = vjp(Mbar)
+            g_vl = _lgrad(xv, W_A0) + _lgrad(xd, W_dA0)
+            g_dl = (_lgrad(xv, W_dZA) + _lgrad(xd, W_ddA)
+                    + _norm_chain_col(dl, W_nz, ndz))
+            g_xv = _rgrad(vl, W_A0) + _rgrad(dl, W_dZA)
+            g_xd = (_rgrad(vl, W_dA0) + _rgrad(dl, W_ddA)
+                    + _norm_chain_row(xd, W_nt, ndt))
+            return g_vl, g_dl, g_xv, g_xd
+        if increments:  # one-sided z difference
+            ndz, _ = _step_norms(dl, xd)
+            _, vjp = jax.vjp(
+                lambda args: mat12_onesided_from_dots(
+                    *args, exp=exp_accurate, expm1=_expm1),
+                (A0, _hdot(dl, xv), ndz))
+            (W_A0, W_dZA, W_nz), = vjp(Mbar)
+            return (_lgrad(xv, W_A0),
+                    _lgrad(xv, W_dZA) + _norm_chain_col(dl, W_nz, ndz),
+                    _rgrad(vl, W_A0) + _rgrad(dl, W_dZA), zx)
+        if difference:  # one-sided time difference
+            _, ndt = _step_norms(dl, xd)
+            _, vjp = jax.vjp(
+                lambda args: mat12_onesided_from_dots(
+                    *args, exp=exp_accurate, expm1=_expm1),
+                (A0, _hdot(vl, xd), ndt))
+            (W_A0, W_dA0, W_nt), = vjp(Mbar)
+            return (_lgrad(xv, W_A0) + _lgrad(xd, W_dA0), zv,
+                    _rgrad(vl, W_A0),
+                    _rgrad(vl, W_dA0) + _norm_chain_row(xd, W_nt, ndt))
+        _, vjp = jax.vjp(
+            lambda a: mat12_plain_from_dots(a, exp=exp_accurate), A0)
+        W_A0, = vjp(Mbar)
+        return _lgrad(xv, W_A0), zv, _rgrad(vl, W_A0), zx
     A0 = _hdot(vl, xv)
     eA0 = exp_accurate(A0)
     if increments:

@@ -61,13 +61,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gram import exp_accurate
+from .gram import (exp_accurate, mat12_cross_from_dots,
+                   mat12_onesided_from_dots, mat12_plain_from_dots)
 
 # bases with an in-kernel cancellation-free increment algebra; the
 # dispatch layer (`kernels.SignatureKernel._fused_supported`) keys off
 # this, so extending the kernels automatically extends the public API's
-# fast path
-SUPPORTED_BASES = ("rbf", "linear")
+# fast path.  matern12 rides the same norm-augmented dots as rbf plus
+# per-step norms (triangle-inequality floors) computed in-kernel; its
+# increment algebra is the dots-level `gram.mat12_cross_from_dots`.
+SUPPORTED_BASES = ("rbf", "linear", "matern12")
 
 
 def _expm1(x):
@@ -204,6 +207,53 @@ def _make_cumsums(precision, seg=None):
     return cum_rows, cum_lanes
 
 
+def _aug_mask(arr):
+    """(d_aug, 1) mask selecting the TRUE feature sublanes (the last two
+    are norm-augmentation channels)."""
+    d_aug = arr.shape[0]
+    return (lax.broadcasted_iota(jnp.int32, (d_aug, 1), 0)
+            < d_aug - 2).astype(arr.dtype)
+
+
+def _norm_chain_col(dl, W_nx, ndx):
+    """Chain a step-norm cotangent into the difference tile, column side:
+    ``g_dl[c, b] += dl_true[c, b] * W_nx[b] / max(ndx[b], tiny)`` (since
+    d|v|/dv = v/|v|); the per-column scale is applied as a diagonal matmul
+    because (n, 1) -> (1, n) transposes are relayouts Mosaic need not pay."""
+    w = W_nx / jnp.maximum(ndx, 1e-30)  # (n, 1)
+    n = dl.shape[1]
+    r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    D = jnp.where(r == c, jnp.broadcast_to(w, (n, n)), 0.0)
+    return lax.dot_general(
+        dl * _aug_mask(dl), D, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _norm_chain_row(dr, W_ny, ndy):
+    """Row-side step-norm chain: ``g_dr += dr_true * W_ny / max(ndy, tiny)``
+    with W_ny/ndy lane-oriented (1, n)."""
+    return (dr * _aug_mask(dr)) * (W_ny / jnp.maximum(ndy, 1e-30))
+
+
+def _step_norms(dxa, dxj):
+    """Per-step euclidean norms of the TRUE feature channels of the
+    augmented difference tiles: ndx (Ls, 1) via a masked-ones matmul (lane
+    -> sublane orientation without a relayout), ndy (1, BJL) via a masked
+    row reduction.  The last two sublanes are the norm-augmentation
+    channels (dn; 0) and are excluded."""
+    mrow = _aug_mask(dxa)
+    ndx2 = lax.dot_general(
+        dxa * dxa, mrow, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # (Ls, 1)
+    ndy2 = jnp.sum((dxj * dxj) * mrow, axis=0, keepdims=True)  # (1, BJL)
+    return jnp.sqrt(ndx2), jnp.sqrt(ndy2)
+
+
 def _increment_gram_row(xa, dxa, xj, dxj, base, difference, tail_mask, hdot):
     """(L, BJ*L) increment (or plain, if not difference) Gram for one row
     example against all BJ column examples; cancellation-free (see module
@@ -212,8 +262,17 @@ def _increment_gram_row(xa, dxa, xj, dxj, base, difference, tail_mask, hdot):
         if difference:
             return hdot(dxa, dxj)  # exact increment Gram, one matmul
         return hdot(xa, xj) * tail_mask
-    # rbf on norm-augmented inputs
+    # rbf/matern12 on norm-augmented inputs
     A00 = hdot(xa, xj)  # = -|x_s - y_t|^2 / 2
+    if base == "matern12":
+        if not difference:
+            return mat12_plain_from_dots(A00, exp=exp_accurate) * tail_mask
+        d01 = hdot(xa, dxj)
+        d10 = hdot(dxa, xj)
+        dxx = hdot(dxa, dxj)
+        ndx, ndy = _step_norms(dxa, dxj)
+        return mat12_cross_from_dots(A00, d01, d10, dxx, ndx, ndy,
+                                     exp=exp_accurate, expm1=_expm1)
     if not difference:
         return exp_accurate(A00) * tail_mask
     d01 = hdot(xa, dxj)   # A(x, y') - A(x, y)
@@ -619,7 +678,7 @@ def fused_shape_ok(L: int, d: int, order: int = 1,
     feature width even at the smallest blocks.  Dispatch sites use this to
     fall back to the XLA path instead of OOM-ing the Mosaic allocators."""
     L_pad = max(128, -(-L // 128) * 128)
-    d_aug = d + (2 if base == "rbf" else 0)
+    d_aug = d + (2 if base != "linear" else 0)
     if d_aug > _MAX_FUSED_FEATURES:
         return False
     return _pick_blocks(L_pad, d_aug, order, 16, 8) is not None
@@ -659,7 +718,7 @@ def fused_first_order_levels(X, X2=None, *, num_levels: int,
     # without this, L >~ 400 or d in the hundreds OOMs the Mosaic
     # allocators at the default blocks instead of shrinking or falling
     # back.
-    d_aug = d + (2 if base == "rbf" else 0)
+    d_aug = d + (2 if base != "linear" else 0)
     picked = _pick_blocks(L_pad, d_aug, order, BI, BJ)
     if picked is None:
         raise ValueError(
@@ -844,12 +903,36 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
             dxa = dxi_ref[:, pl.ds(a * L, Ls)]
 
             # recompute the increment Gram row and per-term weights
-            es = e01 = e10 = eA00 = None
+            es = e01 = e10 = eA00 = dots_vjp = ndx = ndy = None
             if base == "linear":
                 if difference:
                     M_full = hdot(dxa, dxj)
                 else:
                     M_full = hdot(xa, xj) * tail_mask
+            elif base == "matern12":
+                # weight tiles via jax.vjp of the dots-level closed form —
+                # pure elementwise, so the transpose traces into the same
+                # VPU ops; the step norms are vjp primals whose cotangents
+                # chain back into the difference tiles (d|v|/dv = v/|v|)
+                A00 = hdot(xa, xj)
+                if difference:
+                    d01 = hdot(xa, dxj)
+                    d10 = hdot(dxa, xj)
+                    dxx = hdot(dxa, dxj)
+                    ndx, ndy = _step_norms(dxa, dxj)
+
+                    def _m12(args):
+                        return mat12_cross_from_dots(
+                            *args, exp=exp_accurate, expm1=_expm1)
+
+                    M_full, dots_vjp = jax.vjp(
+                        _m12, (A00, d01, d10, dxx, ndx, ndy))
+                else:
+                    def _m12p(a00):
+                        return mat12_plain_from_dots(
+                            a00, exp=exp_accurate) * tail_mask
+
+                    M_full, dots_vjp = jax.vjp(_m12p, A00)
             else:
                 A00 = hdot(xa, xj)
                 eA00 = exp_accurate(A00)
@@ -905,6 +988,21 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
                 else:
                     g_xa, g_dxa = lhs_grad(xj, Mbar_full * tail_mask), zrow
                     g_xj, g_dxj = rhs_grad(xa, Mbar_full * tail_mask), zcol
+            elif base == "matern12":
+                if difference:
+                    (W_A00, W_d01, W_d10, W_dxx,
+                     W_nx, W_ny), = dots_vjp(Mbar_full)
+                    g_xa = lhs_grad(xj, W_A00) + lhs_grad(dxj, W_d01)
+                    g_dxa = (lhs_grad(xj, W_d10) + lhs_grad(dxj, W_dxx)
+                             + mm_hi(_norm_chain_col(dxa, W_nx, ndx),
+                                     rowpad))
+                    g_xj = rhs_grad(xa, W_A00) + rhs_grad(dxa, W_d10)
+                    g_dxj = (rhs_grad(xa, W_d01) + rhs_grad(dxa, W_dxx)
+                             + _norm_chain_row(dxj, W_ny, ndy))
+                else:
+                    W_A00, = dots_vjp(Mbar_full)
+                    g_xa, g_dxa = lhs_grad(xj, W_A00), zrow
+                    g_xj, g_dxj = rhs_grad(xa, W_A00), zcol
             else:
                 if difference:
                     W_A00 = Mbar_full * M_full  # dM/dA00 = M

@@ -35,7 +35,9 @@ def _ref_tens(Z, base, inc, nZ, d):
 
 
 @pytest.mark.parametrize("base,inc", [("rbf", True), ("rbf", False),
-                                      ("linear", True)])
+                                      ("linear", True),
+                                      ("matern12", True),
+                                      ("matern12", False)])
 def test_fused_tensor_levels_fwd_and_grad(base, inc):
     nZ, d = 9, 2
     shape = (LT, nZ, 2, d) if inc else (LT, nZ, d)
@@ -44,13 +46,18 @@ def test_fused_tensor_levels_fwd_and_grad(base, inc):
                                  increments=inc, interpret=True)
     ref = _ref_tens(Z, base, inc, nZ, d)
     scale = float(jnp.max(jnp.abs(ref)))
-    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4 * max(scale, 1)
+    # matern12's Kzz diagonal rides the |.|-kink at coincident corners
+    # (z_i vs z_i), where the f32 conditioning of closed-vs-naive is ~1e-3
+    # (both finite; f64 closed == f64 naive to 1e-16 — see PERF.md)
+    ftol = 2e-3 if base == "matern12" else 1e-4
+    gtol = 5e-3 if base == "matern12" else 1e-3
+    assert float(jnp.max(jnp.abs(out - ref))) < ftol * max(scale, 1)
 
     g1 = jax.grad(lambda z: _weigh(ip.fused_tensor_levels(
         z, num_levels=M_LVL, base=base, increments=inc, interpret=True)))(Z)
     g2 = jax.grad(lambda z: _weigh(_ref_tens(z, base, inc, nZ, d)))(Z)
     gs = float(jnp.max(jnp.abs(g2)))
-    assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-3 * max(gs, 1)
+    assert float(jnp.max(jnp.abs(g1 - g2))) < gtol * max(gs, 1)
 
 
 def _ref_zx(Z, X, base, inc, diff, nZ, N, L, d):
@@ -70,6 +77,10 @@ def _ref_zx(Z, X, base, inc, diff, nZ, N, L, d):
     ("rbf", True, True),       # the benchmark configuration
     ("rbf", False, False),
     ("linear", True, True),
+    ("matern12", True, True),
+    ("matern12", True, False),
+    ("matern12", False, True),
+    ("matern12", False, False),
 ])
 def test_fused_tens_vs_seq_fwd_and_grad(base, inc, diff):
     nZ, N, L, d = 7, 3, 18, 2

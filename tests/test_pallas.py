@@ -24,7 +24,7 @@ def _ref_levels(X, X2, M, base, difference):
     )
 
 
-@pytest.mark.parametrize("base", ["linear", "rbf"])
+@pytest.mark.parametrize("base", ["linear", "rbf", "matern12"])
 @pytest.mark.parametrize("difference", [True, False])
 def test_fused_matches_direct(base, difference):
     N1, N2, L, d, M = 5, 7, 20, 3, 4
@@ -37,6 +37,34 @@ def test_fused_matches_direct(base, difference):
     ))
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 5e-5, rel
+
+
+def test_fused_matern12_grads_match_direct():
+    """The matern12 in-kernel bwd (jax.vjp weights + step-norm chains)
+    == autodiff of the reference recursion."""
+    from gpsig_tpu.ops import base_kernels as bk
+
+    N1, N2, L, d, M = 4, 3, 14, 2, 3
+    X = jnp.asarray((RNG.randn(N1, L, d) / np.sqrt(L)).astype(np.float32))
+    X2 = jnp.asarray((RNG.randn(N2, L, d) / np.sqrt(L)).astype(np.float32))
+    kf = bk.get("matern12")
+
+    def ref(x, x2):
+        G = kf({}, x.reshape(-1, d), x2.reshape(-1, d)).reshape(
+            N1, L, N2, L)
+        return jnp.sum(sig_ops.signature_kern_first_order(
+            G, M, difference=True))
+
+    def fused(x, x2):
+        return jnp.sum(sp.fused_first_order_levels(
+            x, x2, num_levels=M, base="matern12", difference=True,
+            block_i=4, block_j=2, interpret=True))
+
+    gf = jax.grad(fused, argnums=(0, 1))(X, X2)
+    gr = jax.grad(ref, argnums=(0, 1))(X, X2)
+    for a, b in zip(gf, gr):
+        s = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / s < 2e-3
 
 
 @pytest.mark.parametrize("difference", [True, False])
