@@ -45,8 +45,17 @@ except ImportError:  # pragma: no cover
 from ..ops.signature import cumsum_exclusive
 
 
-def _local_tens_vs_seq_levels(M_local, num_levels: int, axis_name: str):
+def _local_tens_vs_seq_levels(M_local, num_levels: int, axis_name: str,
+                              order: int = 1):
     """Per-device slice of the tens-vs-seq recursion with carry exchange.
+
+    Any discretization order (VERDICT r4 item 5): the order>1 recursion
+    (`signature_algs.py:129-160`) keeps a depth-``min(j+1, order)`` list of
+    running partial tensors per slot, but ONLY the leading
+    ``cumsum_exclusive(sum(R))`` term couples time chunks — every deeper
+    partial is an elementwise product at the same time index, so it stays
+    chunk-local.  Communication is therefore identical to order 1: one
+    (nT, N)-sized all_gather per slot step, independent of order and L.
 
     Args:
       M_local: (len_tensors, num_tensors, N, L_local) local *increment*
@@ -55,30 +64,31 @@ def _local_tens_vs_seq_levels(M_local, num_levels: int, axis_name: str):
     """
     nT, Nx = M_local.shape[1], M_local.shape[2]
     dtype = M_local.dtype
-    idx = lax.axis_index(axis_name)
-    n_chunks = lax.axis_size(axis_name)
 
     K = [jnp.ones((nT, Nx), dtype=dtype)]
     k = 0
     for i in range(1, num_levels + 1):
-        R = M_local[k]
+        R = [M_local[k]]
         k += 1
-        for _ in range(1, i):
-            # chunk sums of the previous slot's running tensor
-            local_sum = jnp.sum(R, axis=-1)  # (nT, N)
-            all_sums = lax.all_gather(local_sum, axis_name)  # (C, nT, N)
-            mask = (
-                jnp.arange(n_chunks) < idx
-            ).astype(dtype)[:, None, None]
-            carry = jnp.sum(all_sums * mask, axis=0)  # exclusive prefix
-            R = M_local[k] * (carry[..., None] + cumsum_exclusive(R, axis=-1))
+        for j in range(1, i):
+            dep = min(j + 1, order)
+            S = sum(R)
+            # exclusive chunk prefix of the previous slot's running sum
+            carry = _excl_chunk_prefix(jnp.sum(S, axis=-1), axis_name)
+            R_next = [
+                M_local[k] * (carry[..., None] + cumsum_exclusive(S, axis=-1))
+            ]
+            for l in range(1, dep):
+                # same-time-index partials: chunk-local, no exchange
+                R_next.append((1.0 / (l + 1)) * M_local[k] * R[l - 1])
+            R = R_next
             k += 1
-        K.append(lax.psum(jnp.sum(R, axis=-1), axis_name))
+        K.append(lax.psum(jnp.sum(sum(R), axis=-1), axis_name))
     return jnp.stack(K, axis=0)
 
 
 def tens_vs_seq_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
-                                    axis: str = "seq"):
+                                    axis: str = "seq", order: int = 1):
     """Exact (num_levels+1, nT, N) levels with the time axis sharded.
 
     Args:
@@ -86,10 +96,12 @@ def tens_vs_seq_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
       M_inc: (len_tensors, num_tensors, N, L-1) increment Gram, already
         differenced along time (cf. `signature_algs.py:114`); its last axis
         is sharded over ``axis``.
+      order: discretization order (`signature_algs.py:129-160` for >1).
     """
     fn = shard_map(
         functools.partial(
-            _local_tens_vs_seq_levels, num_levels=num_levels, axis_name=axis
+            _local_tens_vs_seq_levels, num_levels=num_levels, axis_name=axis,
+            order=order,
         ),
         mesh=mesh,
         in_specs=P(None, None, None, axis),
@@ -98,55 +110,77 @@ def tens_vs_seq_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
     return fn(M_inc)
 
 
-def _seq_diag_recursion(M_local, num_levels: int, axis_name: str):
+def _seq_diag_recursion(M_local, num_levels: int, axis_name: str,
+                        order: int = 1):
     """Carry-based seq-diag level recursion over a (N, L_s, Lc_t) local
     increment-Gram stripe (s axis full, t axis chunked over ``axis_name``).
 
     The 2-D recursion needs cumsums over both time axes; the s-axis is local
     (full), the t-axis is chunked with the carry trick, where the carry per
     level is a (N, L) vector (sum over previous chunks' t-columns for every
-    s)."""
+    s).  ``order`` > 1 runs the (order x order) partial-tensor grid
+    (`signature_algs.py:37-74`) with the same per-t-cumsum carry — up to
+    ``min(i, order)`` carries per level instead of one."""
     dtype = M_local.dtype
-    idx = lax.axis_index(axis_name)
-    n_chunks = lax.axis_size(axis_name)
     N = M_local.shape[0]
 
-    def excl_prefix(chunk_sums):
-        # chunk_sums: local (N, L); returns sum over chunks before idx
-        all_sums = lax.all_gather(chunk_sums, axis_name)  # (C, N, L)
-        mask = (jnp.arange(n_chunks) < idx).astype(dtype)[:, None, None]
-        return jnp.sum(all_sums * mask, axis=0)
+    def cum_t(A):
+        # exclusive cumsum over the chunked t axis: local + chunk carry
+        carry = _excl_chunk_prefix(jnp.sum(A, axis=2), axis_name)  # (N, L)
+        return carry[:, :, None] + cumsum_exclusive(A, axis=2)
+
+    def cum_s(A):
+        return cumsum_exclusive(A, axis=1)  # s axis is full: local
 
     K = [jnp.ones((N,), dtype=dtype),
          lax.psum(jnp.sum(M_local, axis=(1, 2)), axis_name)]
-    R = M_local
-    for _ in range(2, num_levels + 1):
-        inner_s = cumsum_exclusive(R, axis=1)  # local: s axis is full
-        carry_t = excl_prefix(jnp.sum(inner_s, axis=2))  # (N, L)
-        inner = carry_t[:, :, None] + cumsum_exclusive(inner_s, axis=2)
-        R = M_local * inner
-        K.append(lax.psum(jnp.sum(R, axis=(1, 2)), axis_name))
+    # (order x order) grid of running partial tensors with 1/j, 1/k
+    # scalings (`signature_algs.py:60-72`); at order 1 the grid is the
+    # single (0, 0) cell and this reduces to the original recursion.
+    # Only the cum_t legs couple chunks; the elementwise grid interior
+    # and the cum_s legs stay local.
+    R = {(0, 0): M_local}
+    for i in range(2, num_levels + 1):
+        d = min(i, order)
+        R_sum = sum(R.values())
+        R_next = {(0, 0): M_local * cum_s(cum_t(R_sum))}
+        for j in range(2, d + 1):
+            row_sum = sum(R[(a, j - 2)] for a in range(d) if (a, j - 2) in R)
+            col_sum = sum(R[(j - 2, b)] for b in range(d) if (j - 2, b) in R)
+            R_next[(0, j - 1)] = (1.0 / j) * M_local * cum_s(row_sum)
+            R_next[(j - 1, 0)] = (1.0 / j) * M_local * cum_t(col_sum)
+            for k in range(2, d + 1):
+                R_next[(j - 1, k - 1)] = (
+                    (1.0 / (j * k)) * M_local * R[(j - 2, k - 2)]
+                )
+        K.append(
+            lax.psum(jnp.sum(sum(R_next.values()), axis=(1, 2)), axis_name)
+        )
+        R = R_next
     return jnp.stack(K, axis=0)
 
 
-def _local_seq_diag_levels(M_local, num_levels: int, axis_name: str):
+def _local_seq_diag_levels(M_local, num_levels: int, axis_name: str,
+                           order: int = 1):
     """Per-device slice of the seq-diag recursion over a pre-materialized
     *increment* Gram stripe (see :func:`_seq_diag_recursion`)."""
-    return _seq_diag_recursion(M_local, num_levels, axis_name)
+    return _seq_diag_recursion(M_local, num_levels, axis_name, order=order)
 
 
 def seq_diag_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
-                                 axis: str = "seq"):
+                                 axis: str = "seq", order: int = 1):
     """Exact (num_levels+1, N) per-level diagonals with the second time axis
     sharded over the mesh.
 
     Args:
       M_inc: (N, L-1, L-1) per-example increment Grams (differenced); the
-        LAST axis is sharded over ``axis``.
+      LAST axis is sharded over ``axis``.
+      order: discretization order (`signature_algs.py:37-74` for >1).
     """
     fn = shard_map(
         functools.partial(
             _local_seq_diag_levels, num_levels=num_levels, axis_name=axis,
+            order=order,
         ),
         mesh=mesh,
         in_specs=P(None, None, axis),
@@ -169,44 +203,67 @@ def _excl_chunk_prefix(chunk_sum, axis_name: str):
     return jnp.sum(gathered * mask, axis=0)
 
 
-def _local_seq_cross_levels(M_local, num_levels: int, ax_s: str, ax_t: str):
+def _local_seq_cross_levels(M_local, num_levels: int, ax_s: str, ax_t: str,
+                            order: int = 1):
     """Per-device block of the full seq-vs-seq cross-Gram recursion with
     BOTH time axes chunked (the §3.2 hot loop, `signature_algs.py:8-35`).
 
     M_local: (N1, Ls_loc, N2, Lt_loc) block of the *increment* Gram; device
     (a, b) on the ('ax_s', 'ax_t') mesh owns s-chunk a and t-chunk b.
 
-    Per level the double exclusive cumsum decomposes into local cumsums plus
-    two carry states:
+    Per level the exclusive cumsums decompose into local cumsums plus
+    carry states:
 
       * carry_t: (N1, Ls_loc, N2) exclusive prefix (over t-chunks) of the
         t-sums of R — exchanged along ``ax_t``;
       * carry_s: (N1, N2, Lt_loc) exclusive prefix (over s-chunks) of the
-        s-sums of (carry_t + local t-cumsum) — exchanged along ``ax_s``.
+        s-sums — exchanged along ``ax_s``.
 
-    Both carries are L-chunk-local slabs, so communication per level is two
-    small all_gathers + the final psum — independent of the full L1*L2.
+    Both carries are L-chunk-local slabs, so communication per level is a
+    handful of small all_gathers + the final psum — independent of the full
+    L1*L2.  ``order`` > 1 runs the (order x order) partial-tensor grid
+    (`signature_algs.py:60-72`); the grid interior is elementwise at the
+    same (s, t) index so it adds no communication, and the single-axis
+    cumsum legs carry along their one chunked axis only.
     """
     dtype = M_local.dtype
     N1, _, N2, _ = M_local.shape
 
+    def cum_t(A):
+        carry = _excl_chunk_prefix(jnp.sum(A, axis=3), ax_t)
+        return carry[..., None] + cumsum_exclusive(A, axis=3)
+
+    def cum_s(A):
+        carry = _excl_chunk_prefix(jnp.sum(A, axis=1), ax_s)
+        return carry[:, None, :, :] + cumsum_exclusive(A, axis=1)
+
     K = [jnp.ones((N1, N2), dtype=dtype),
          lax.psum(jnp.sum(M_local, axis=(1, 3)), (ax_s, ax_t))]
-    R = M_local
-    for _ in range(2, num_levels + 1):
-        # exclusive cumsum over the t axis (3): local + cross-chunk carry
-        carry_t = _excl_chunk_prefix(jnp.sum(R, axis=3), ax_t)
-        inner_t = carry_t[..., None] + cumsum_exclusive(R, axis=3)
-        # exclusive cumsum over the s axis (1): local + cross-chunk carry
-        carry_s = _excl_chunk_prefix(jnp.sum(inner_t, axis=1), ax_s)
-        inner = carry_s[:, None, :, :] + cumsum_exclusive(inner_t, axis=1)
-        R = M_local * inner
-        K.append(lax.psum(jnp.sum(R, axis=(1, 3)), (ax_s, ax_t)))
+    R = {(0, 0): M_local}
+    for i in range(2, num_levels + 1):
+        d = min(i, order)
+        R_sum = sum(R.values())
+        R_next = {(0, 0): M_local * cum_s(cum_t(R_sum))}
+        for j in range(2, d + 1):
+            row_sum = sum(R[(a, j - 2)] for a in range(d) if (a, j - 2) in R)
+            col_sum = sum(R[(j - 2, b)] for b in range(d) if (j - 2, b) in R)
+            R_next[(0, j - 1)] = (1.0 / j) * M_local * cum_s(row_sum)
+            R_next[(j - 1, 0)] = (1.0 / j) * M_local * cum_t(col_sum)
+            for k in range(2, d + 1):
+                R_next[(j - 1, k - 1)] = (
+                    (1.0 / (j * k)) * M_local * R[(j - 2, k - 2)]
+                )
+        K.append(
+            lax.psum(jnp.sum(sum(R_next.values()), axis=(1, 3)),
+                     (ax_s, ax_t))
+        )
+        R = R_next
     return jnp.stack(K, axis=0)
 
 
 def seq_cross_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
-                                  axes: tuple[str, str] = ("seq1", "seq2")):
+                                  axes: tuple[str, str] = ("seq1", "seq2"),
+                                  order: int = 1):
     """Exact (num_levels+1, N1, N2) seq-vs-seq per-level kernels with both
     time axes sharded over a 2-D mesh (SURVEY §2.4 SP row: the time-axis
     cumsum recursion is an associative scan; chunk L across devices and
@@ -216,12 +273,13 @@ def seq_cross_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
       mesh: mesh containing both ``axes`` dimensions.
       M_inc: (N1, L1-1, N2, L2-1) increment Gram (already differenced,
         `signature_algs.py:26`); axes 1 and 3 sharded over ``axes``.
+      order: discretization order (`signature_algs.py:37-74` for >1).
     """
     ax_s, ax_t = axes
     fn = shard_map(
         functools.partial(
             _local_seq_cross_levels, num_levels=num_levels,
-            ax_s=ax_s, ax_t=ax_t,
+            ax_s=ax_s, ax_t=ax_t, order=order,
         ),
         mesh=mesh,
         in_specs=P(None, ax_s, None, ax_t),
@@ -342,7 +400,8 @@ def _local_window(X_local, axis_name: str):
 
 
 def seq_diag_levels_from_sequences(mesh: Mesh, X, num_levels: int, *,
-                                   pair_fn, axis: str = "seq"):
+                                   pair_fn, axis: str = "seq",
+                                   order: int = 1):
     """Exact (num_levels+1, N) per-level diagonals from time-sharded
     sequences; no device materializes more than a (N, L, L/C) Gram stripe.
 
@@ -351,13 +410,14 @@ def seq_diag_levels_from_sequences(mesh: Mesh, X, num_levels: int, *,
         (L must be a multiple of the axis size; use
         :func:`pad_sequences_to_chunks`).
       pair_fn: from :func:`make_pair_increment_fn`.
+      order: discretization order.
     """
 
     def local(X_local):
         X_pad, pts = _local_window(X_local, axis)
         # (N, L, Lc) stripe: full s-increments x local t-increments
         M_local = pair_fn(X_pad, pts)
-        return _seq_diag_recursion(M_local, num_levels, axis)
+        return _seq_diag_recursion(M_local, num_levels, axis, order=order)
 
     return shard_map(
         local, mesh=mesh, in_specs=P(None, axis, None), out_specs=P()
@@ -366,7 +426,8 @@ def seq_diag_levels_from_sequences(mesh: Mesh, X, num_levels: int, *,
 
 def seq_cross_levels_from_sequences(mesh: Mesh, X, X2, num_levels: int, *,
                                     pair_cross_fn,
-                                    axes: tuple[str, str] = ("seq1", "seq2")):
+                                    axes: tuple[str, str] = ("seq1", "seq2"),
+                                    order: int = 1):
     """Exact (num_levels+1, N1, N2) seq-vs-seq per-level kernels from
     sequences with both time axes sharded over a 2-D time mesh; device
     (a, b) builds only its (N1, L1/C1, N2, L2/C2) increment-Gram block.
@@ -386,7 +447,7 @@ def seq_cross_levels_from_sequences(mesh: Mesh, X, X2, num_levels: int, *,
         M_block = pair_cross_fn(pts1, pts2)  # (N1, N2, Ls, Lt)
         M_local = jnp.transpose(M_block, (0, 2, 1, 3))
         return _local_seq_cross_levels(
-            M_local, num_levels=num_levels, ax_s=ax_s, ax_t=ax_t
+            M_local, num_levels=num_levels, ax_s=ax_s, ax_t=ax_t, order=order
         )
 
     return shard_map(
@@ -399,7 +460,8 @@ def seq_cross_levels_from_sequences(mesh: Mesh, X, X2, num_levels: int, *,
 def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
                                    pair_cross_fn, diag_pair_fn,
                                    axes: tuple[str, str],
-                                   batch_axis: str | None = None):
+                                   batch_axis: str | None = None,
+                                   order: int = 1):
     """One-sided SP covariances for inducing *sequences*: short Z sequences
     (time axis on the size-1 ``axes[0]`` mesh axis — effectively local) vs
     long X sequences time-sharded over ``axes[1]``, plus X's per-level
@@ -418,10 +480,10 @@ def seq_vs_seq_covs_from_sequences(mesh: Mesh, Z, X, num_levels: int, *,
         M_block = pair_cross_fn(pts1, pts2)    # (N1, N2, lz, Lc)
         M_local = jnp.transpose(M_block, (0, 2, 1, 3))
         cross = _local_seq_cross_levels(
-            M_local, num_levels=num_levels, ax_s=ax_s, ax_t=ax_t
+            M_local, num_levels=num_levels, ax_s=ax_s, ax_t=ax_t, order=order
         )
         M_diag = diag_pair_fn(X_pad, pts2)     # (N2, L, Lc)
-        diag = _seq_diag_recursion(M_diag, num_levels, ax_t)
+        diag = _seq_diag_recursion(M_diag, num_levels, ax_t, order=order)
         return cross, diag
 
     return shard_map(
@@ -436,7 +498,8 @@ def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
                                      increments: bool, diag_pair_fn=None,
                                      axis: str = "seq",
                                      batch_axis: str | None = None,
-                                     z_axis: str | None = None):
+                                     z_axis: str | None = None,
+                                     order: int = 1):
     """Fused SP evaluation of the SVGP hot path from time-sharded sequences:
     (Kzx_lvls (M+1, nT, N), Kxx_diag_lvls (M+1, N)) — the two covariances
     `K_tens_n_seq_covs` needs (`kernels.py:590-671`), sharing one gathered
@@ -482,11 +545,11 @@ def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
             ).reshape(lt, nT_loc, N, Lp)
         M = M[..., 1:] - M[..., :-1]  # t-difference: (lt, nT_loc, N, Lc)
         Kzx = _local_tens_vs_seq_levels(M, num_levels=num_levels,
-                                        axis_name=axis)
+                                        axis_name=axis, order=order)
         if diag_pair_fn is None:
             return Kzx
         M_diag = diag_pair_fn(X_pad, pts)  # (N, L, Lc)
-        Kxx = _seq_diag_recursion(M_diag, num_levels, axis)
+        Kxx = _seq_diag_recursion(M_diag, num_levels, axis, order=order)
         return Kzx, Kxx
 
     z_spec = P(*([None, z_axis] + [None] * (Z.ndim - 2)))
@@ -505,8 +568,10 @@ def tens_n_seq_levels_from_sequences(mesh: Mesh, base_kern, Z, X,
 
 
 def _check_sp_kernel(kern):
-    if kern.order != 1:
-        raise NotImplementedError("sequence parallelism requires order=1")
+    # any order is supported (VERDICT r4 item 5): the order>1 partial-
+    # tensor grids/lists add only chunk-local elementwise work — the
+    # cross-chunk carry structure (one small all_gather per cumsum leg)
+    # is unchanged, so the comm cost stays independent of order.
     if not kern.difference:
         raise NotImplementedError("sequence parallelism requires difference")
     if kern.low_rank:
@@ -533,7 +598,8 @@ def kernel_seq_diag_sp(kern, params, mesh, X, *, axis: str = "seq",
     pair_fn = make_pair_increment_fn(kern.base, kern._base_kern(cp),
                                      params=cp)
     lvls = seq_diag_levels_from_sequences(
-        mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axis
+        mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axis,
+        order=kern.order,
     )
     lvls = kern._level_scale(cp, lvls)
     return lvls if return_levels else jnp.sum(lvls, axis=0)
@@ -558,7 +624,8 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
     symm = X2 is None
     X2s = Xs if symm else kern._scale_sequences(cp, X2)
     K_lvls = seq_cross_levels_from_sequences(
-        mesh, Xs, X2s, kern.num_levels, pair_cross_fn=pair_cross, axes=axes
+        mesh, Xs, X2s, kern.num_levels, pair_cross_fn=pair_cross, axes=axes,
+        order=kern.order,
     )
     if kern.normalization:
         if symm:
@@ -571,10 +638,12 @@ def kernel_K_sp(kern, params, mesh, X, X2=None, *,
             pair_fn = make_pair_increment_fn(kern.base, base_kern,
                                              params=cp)
             d1 = seq_diag_levels_from_sequences(
-                mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axes[0]
+                mesh, Xs, kern.num_levels, pair_fn=pair_fn, axis=axes[0],
+                order=kern.order,
             )
             d2 = seq_diag_levels_from_sequences(
-                mesh, X2s, kern.num_levels, pair_fn=pair_fn, axis=axes[1]
+                mesh, X2s, kern.num_levels, pair_fn=pair_fn, axis=axes[1],
+                order=kern.order,
             )
             d1s = jnp.sqrt(d1 + jitter)
             d2s = jnp.sqrt(d2 + jitter)
@@ -618,6 +687,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         Kzx_lvls = tens_n_seq_levels_from_sequences(
             mesh, base_kern, Z, Xs, kern.num_levels,
             increments=increments, diag_pair_fn=None, axis=axis,
+            order=kern.order,
         )
         # full (N, N) per-level Gram, stripe-local over a (1, C) time mesh
         # (the s-side copy of X gathers fully; blocks are (N, L, N, L/C))
@@ -626,7 +696,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
             mesh2, Xs, Xs, kern.num_levels,
             pair_cross_fn=make_pair_cross_fn(kern.base, base_kern,
                                              params=cp),
-            axes=("_xs", axis),
+            axes=("_xs", axis), order=kern.order,
         )
         if kern.normalization:
             Kxx_lvls = Kxx_lvls + jitter * jnp.eye(
@@ -655,6 +725,7 @@ def kernel_tens_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         diag_pair_fn=make_pair_increment_fn(kern.base, base_kern,
                                             params=cp),
         axis=axis, batch_axis=batch_axis, z_axis=z_axis,
+        order=kern.order,
     )
 
     if kern.normalization:
@@ -711,7 +782,7 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         mesh2, Zs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
         diag_pair_fn=make_pair_increment_fn(kern.base, base_kern,
                                             params=cp),
-        axes=("_zt", axis), batch_axis=batch_axis,
+        axes=("_zt", axis), batch_axis=batch_axis, order=kern.order,
     )
 
     Kzz_lvls = kern._K_seq(cp, Zs)
@@ -730,7 +801,7 @@ def kernel_seq_n_seq_covs_sp(kern, params, mesh, Z, X, *,
         # full_X2_cov branch — broken upstream, correct here)
         Kx2_lvls = seq_cross_levels_from_sequences(
             mesh2, Xs, Xs, kern.num_levels, pair_cross_fn=pair_cross,
-            axes=("_zt", axis),
+            axes=("_zt", axis), order=kern.order,
         )
         if kern.normalization:
             Kx2_lvls = Kx2_lvls + jitter * jnp.eye(
