@@ -26,7 +26,11 @@ at *trace* time (`SignatureKernel._fused_tens_ok` checks
 ``jax.default_backend()``), so an artifact exported from a CPU host bakes
 the pure-XLA covariance graph even when targeting TPU — correct everywhere,
 but to ship the Pallas fast path the export must run in a TPU-backed
-process.
+process.  Verified on chip (SERVING_r05.txt, driven by
+`benchmarks/serving_export_drive.py`): the TPU-process export's StableHLO
+contains the Mosaic custom call, round-trips through serialize/deserialize
+bit-identically to the on-chip Predictor, and runs 1.25x faster than the
+pure-XLA-graph artifact at the same shapes.
 """
 
 from __future__ import annotations
