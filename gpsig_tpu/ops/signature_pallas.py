@@ -990,8 +990,22 @@ def _kernel_bwd(xi_ref, dxi_ref, xj_ref, dxj_ref, ct_ref, gxi_ref, gdxi_ref,
                     g_xj, g_dxj = rhs_grad(xa, Mbar_full * tail_mask), zcol
             elif base == "matern12":
                 if difference:
+                    # zero-length steps (repeat padding, duplicated
+                    # observations) have M ≡ 0 *identically* under the
+                    # padded parameterization, so their net gradient
+                    # contribution is exactly zero — but the 1/tiny-guarded
+                    # branches of the radius-gap algebra evaluate the two
+                    # pad-adjoint partials (+c into y_{t+1}, -c into y_t)
+                    # through different tile paths and the O(1/tiny)-scale
+                    # c leaves O(1) f32 residue at the boundary (round-5
+                    # symmetric-mode self-pair finding).  Masking the
+                    # cotangent at dead steps zeroes all six weight tiles
+                    # at once; it is also the symmetric subgradient at the
+                    # |.|-kink for genuinely repeated observations.
+                    live = ((ndx > 0.0).astype(f32)
+                            * (ndy > 0.0).astype(f32))
                     (W_A00, W_d01, W_d10, W_dxx,
-                     W_nx, W_ny), = dots_vjp(Mbar_full)
+                     W_nx, W_ny), = dots_vjp(Mbar_full * live)
                     g_xa = lhs_grad(xj, W_A00) + lhs_grad(dxj, W_d01)
                     g_dxa = (lhs_grad(xj, W_d10) + lhs_grad(dxj, W_dxx)
                              + mm_hi(_norm_chain_col(dxa, W_nx, ndx),

@@ -67,6 +67,38 @@ def test_fused_matern12_grads_match_direct():
         assert float(jnp.max(jnp.abs(a - b))) / s < 2e-3
 
 
+def test_fused_matern12_symmetric_grads_boundary():
+    """Round-5 regression: symmetric/self-pair matern12 bwd at the
+    repeat-padding boundary.  Zero-length pad steps have M ≡ 0, so their
+    net gradient contribution is exactly zero — but the 1/tiny-guarded
+    radius-gap branches left O(1) relative error at the last real
+    timestep (0.98 maxrel before the dead-step cotangent mask; ~9e-4
+    after, the f32 noise level of the interior)."""
+    from gpsig_tpu.ops import base_kernels as bk
+
+    N, L, d, M = 4, 14, 2, 3
+    X = jnp.asarray((RNG.randn(N, L, d) / np.sqrt(L)).astype(np.float32))
+    kf = bk.get("matern12")
+
+    def ref(x):
+        G = kf({}, x.reshape(-1, d)).reshape(N, L, N, L)
+        return jnp.sum(sig_ops.signature_kern_first_order(
+            G, M, difference=True))
+
+    def fused(x):
+        return jnp.sum(sp.fused_first_order_levels(
+            x, None, num_levels=M, base="matern12", difference=True,
+            block_i=4, block_j=4, interpret=True))
+
+    gr = jax.grad(ref)(X)
+    gf = jax.grad(fused)(X)
+    s = float(jnp.max(jnp.abs(gr))) + 1e-30
+    D = np.abs(np.asarray(gf - gr)) / s
+    assert D.max() < 2e-3, D.max()
+    # the boundary timestep specifically (where the bug lived)
+    assert D[:, -1].max() < 2e-3, D[:, -1].max()
+
+
 @pytest.mark.parametrize("difference", [True, False])
 def test_fused_mismatched_lengths(difference):
     """X2 longer than X's 128-padded length (regression: L_pad was derived
