@@ -442,11 +442,15 @@ class SignatureKernel:
         if increments:
             # capability-based dispatch: each incremental slot pair is a
             # 2-point path, so the cancellation-free cross increment Grams
-            # apply verbatim (reference `kernels.py:274-277`)
-            inc_cross, _ = self._closed_form_fns(cp, Z.dtype)
-            if inc_cross is not None:
-                from .ops import gram as gram_ops
+            # apply verbatim (reference `kernels.py:274-277`) — except for
+            # bases where the slot geometry defeats the algebra (see
+            # `gram.tens_closed_form_ok`: spectral measured 80x worse than
+            # naive vs an f64 oracle at learned-increment pair geometry)
+            from .ops import gram as gram_ops
 
+            inc_cross, _ = self._closed_form_fns(cp, Z.dtype)
+            if inc_cross is not None and gram_ops.tens_closed_form_ok(
+                    self.base):
                 M = gram_ops.tens_slot_grams(inc_cross, Z)
                 return sig_ops.tensor_kern(M, self.num_levels)
         kern = self._base_kern(cp)

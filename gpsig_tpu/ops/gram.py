@@ -1101,6 +1101,23 @@ def blocked_first_order_levels_diag(base_kern, X, *, num_levels: int,
 # ---------------------------------------------------------------------------
 
 
+def tens_closed_form_ok(base: str) -> bool:
+    """Whether the closed-form increment algebra should serve the
+    inducing-tensor Kzz slot Grams for ``base``.
+
+    The cancellation argument for the closed forms assumes the second
+    difference is small relative to the corner kernel values (close pairs,
+    smooth kernel).  Learned inducing increments drift to arbitrary pair
+    geometry, and for the oscillatory spectral family there is then
+    nothing to cancel — the quotient algebra only adds conditioning error.
+    Adjudicated against an f64 oracle (round 5, Q=4 mixed, suggested
+    inducing tensors): closed form 1.2e+1 vs naive 1.5e-1 max-abs on
+    entries spanning ±1e5, ~80x worse on both CPU and TPU backends — so
+    spectral Kzz keeps the naive graph (Kzz is (lt, nZ, nZ)-sized; there
+    is no memory or throughput motive for the closed form there)."""
+    return not base.startswith("spectral")
+
+
 def tens_slot_grams(increment_fn, Z, precision=lax.Precision.HIGHEST):
     """(lt, nZ, nZ) cancellation-free Kzz slot Grams for incremental
     inducing tensors Z (lt, nZ, 2, d)."""
