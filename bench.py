@@ -56,7 +56,78 @@ def _numpy_f64_reference(X, num_levels):
     return K.sum(0)
 
 
-def bench_svgp(quick: bool = False):
+def _svgp_useful_flops(N_b, L, d, M, n_ind, C):
+    """Analytic per-step useful-FLOP count for the fused SVGP training step
+    (forward covariances + whitened conditional + MultiClass ELBO, x3 for
+    the gradient — the standard fwd:bwd accounting for a graph dominated by
+    matmuls/elementwise chains).
+
+    Dominant terms only (each >=1% of the total at the reference config):
+      * Kzz slot dots:   lt x (2 n_ind, d) self-Grams        2 lt (2n)^2 d
+      * Kzx slot dots:   lt x (2 n_ind, d)x(N_b L, d)        2 lt 2n N_b L d
+      * Kzx recursion:   lt slot steps of (n, N_b, L) mult+cumsum  ~3 each
+      * Kxx-diag blocked: per-example increment Grams (2 N_b L^2 d) +
+        triangular-matmul cumsums (~2 N_b L^3 across level steps)
+      * whitened linalg: chol(n)^3/3 + solves 2 n^2 (N_b + C)
+    This is the *algorithm's* work, not XLA's op count — the MFU numerator
+    (`PERF.md` roofline section)."""
+    lt = M * (M + 1) // 2
+    n = n_ind
+    fwd = (
+        2 * lt * (2 * n) ** 2 * d          # Kzz base dots
+        + 2 * lt * (2 * n) * N_b * L * d   # Kzx base dots
+        + 3 * lt * n * N_b * L             # Kzx slot recursion
+        + 2 * N_b * L * L * d              # diag increment Grams
+        + 2 * N_b * L ** 3                 # diag triangular-matmul cumsums
+        + n ** 3 / 3                       # Cholesky
+        + 2 * n ** 2 * (N_b + C)           # triangular solves
+    )
+    return 3.0 * fwd
+
+
+def _measure_peak_matmul(size=4096, precision=None):
+    """Measured single-chip matmul roofline: TFLOP/s of a (size x size)^2
+    f32 matmul chain at ``precision`` — the MFU denominator,
+    self-calibrated on the same chip/tunnel as the step timings (no
+    assumed spec sheet).  The ~0.5 s axon dispatch overhead would dominate
+    a single chain, so the rate comes from DIFFERENCING two chains of
+    different lengths (constant per-dispatch cost cancels)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    A = jnp.asarray(np.random.RandomState(0).randn(size, size), jnp.float32)
+    scale = jnp.float32(1.0 / np.sqrt(size))  # keep the chain bounded
+
+    def make_chain(reps):
+        @jax.jit
+        def chain(a):
+            x = a
+            for _ in range(reps):
+                x = jnp.matmul(x, a, precision=precision) * scale
+            return jnp.sum(x[:1, :1])
+        return chain
+
+    lo, hi = 8, 72
+    c_lo, c_hi = make_chain(lo), make_chain(hi)
+
+    def timed(c, i):
+        a = A + jnp.float32(1e-6) * i  # eps-shift: the relay memoizes
+        t0 = time.perf_counter()
+        float(c(a))
+        return time.perf_counter() - t0
+
+    float(c_lo(A)), float(c_hi(A))  # compile + warm
+    best = np.inf
+    for i in range(3):
+        dt = timed(c_hi, i) - timed(c_lo, i)
+        if dt > 0:
+            best = min(best, dt)
+    return 2.0 * size ** 3 * (hi - lo) / best / 1e12
+
+
+def bench_svgp(quick: bool = False, curve: bool = False,
+               base: str = "rbf"):
     """Secondary metric (BASELINE.json): SVGP ELBO steps/sec at the
     reference's benchmark configuration (`run_gpsig_benchmarks.py:32-33`:
     M=4, 500 incremental inducing tensors, minibatch 50, SignatureRBF;
@@ -91,11 +162,12 @@ def bench_svgp(quick: bool = False):
         X, M, n_ind, labels=y, increments=True, seed=0
     )
     ls = gp_utils.suggest_initial_lengthscales(X, 1000)
-    kern = kernels.SignatureRBF(d, M, lengthscales=ls)
+    kern = kernels.SignatureKernel(d, M, base=base, lengthscales=ls)
     # reference-equivalent leg: same math, public dispatch switch forces the
     # XLA (reference-graph) covariances (monolithic base Grams + cumsum
     # ladders) instead of the fused Pallas kernels
-    kern_ref = kernels.SignatureRBF(d, M, lengthscales=ls, fused="off")
+    kern_ref = kernels.SignatureKernel(d, M, base=base, lengthscales=ls,
+                                       fused="off")
     ind = InducingTensors(Z, M, increments=True)
     lik = likelihoods.MultiClass(C)
     model = SVGP(kern, ind, lik, num_latent=C, num_data=N)
@@ -110,19 +182,25 @@ def bench_svgp(quick: bool = False):
 
     reps = 10
 
-    def time_steps(m):
+    def make_step(m):
         def step(p, s, xb, yb):
             loss, g = jax.value_and_grad(m.loss)(p, xb, yb)
             u, s = opt.update(g, s, p)
             return optax.apply_updates(p, u), s, loss
+        return step
+
+    def time_steps(m, bsz):
+        step = make_step(m)
         # unrolled steps over distinct minibatches in ONE dispatch
         # (axon relay memoizes identical calls; see timing notes above)
         @jax.jit
         def run(p, s):
             losses = []
             for i in range(reps):
-                xb = jax.lax.dynamic_slice_in_dim(Xd, i * batch, batch)
-                yb = jax.lax.dynamic_slice_in_dim(Yd, i * batch, batch)
+                # start offsets clamp at N - bsz for large bsz: overlapping
+                # windows are fine for timing (distinct graph positions)
+                xb = jax.lax.dynamic_slice_in_dim(Xd, i * bsz, bsz)
+                yb = jax.lax.dynamic_slice_in_dim(Yd, i * bsz, bsz)
                 p, s, loss = step(p, s, xb, yb)
                 losses.append(loss)
             return p, s, jnp.stack(losses)
@@ -139,17 +217,60 @@ def bench_svgp(quick: bool = False):
             assert np.all(np.isfinite(lvals))
         return best
 
-    t_fast = time_steps(model)
-    t_ref = time_steps(model_ref)
+    t_fast = time_steps(model, batch)
+    t_ref = time_steps(model_ref, batch)
 
-    return {
-        "metric": f"SVGP ELBO steps/sec (N={N}, L={L}, d={d}, M={M}, "
-                  f"{n_ind} incr. inducing tensors, batch {batch}, "
+    out = {
+        "metric": f"SVGP ELBO steps/sec (base={base}, N={N}, L={L}, d={d}, "
+                  f"M={M}, {n_ind} incr. inducing tensors, batch {batch}, "
                   f"MultiClass C={C}, f32 fused covariances, 1 chip)",
         "value": round(1.0 / t_fast, 2),
         "unit": "steps/sec",
         "vs_baseline": round(t_ref / t_fast, 2),
     }
+    if not curve:
+        return out
+
+    # --- minibatch-scaling curve + MFU/roofline (VERDICT r4 item 4) ---
+    # larger minibatches amortize the batch-independent Kzz leg and the
+    # fixed launch/linalg cost: entries/s is the deployment-relevant
+    # throughput; steps/s at the reference's batch 50 is the parity metric
+    peak_tflops = _measure_peak_matmul()
+    sweep = {}
+    for bsz in ([batch] if quick else [50, 100, 200, 400]):
+        t_b = t_fast if bsz == batch else time_steps(model, bsz)
+        useful = _svgp_useful_flops(bsz, L, d, M, n_ind, C)
+        sweep[str(bsz)] = {
+            "steps_per_sec": round(1.0 / t_b, 2),
+            "examples_per_sec": round(bsz / t_b, 1),
+            "useful_gflops_per_step": round(useful / 1e9, 2),
+            "achieved_tflops": round(useful / t_b / 1e12, 3),
+            "mfu_pct": round(100.0 * useful / t_b / 1e12 / peak_tflops, 2),
+        }
+    # XLA's own per-step FLOP count (hardware view; EXCLUDES the interior
+    # of Pallas custom calls, so it undercounts the fused path — recorded
+    # for the reference-shaped leg where it is complete)
+    hw_flops = None
+    try:
+        step = make_step(model_ref)
+        xb = Xd[:batch]
+        yb = Yd[:batch]
+        cost = (
+            jax.jit(step).lower(params, state, xb, yb).compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        hw_flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
+    out["minibatch_curve"] = sweep
+    out["roofline"] = {
+        "measured_peak_matmul_tflops_f32_4096": round(peak_tflops, 2),
+        "useful_flops_model": "_svgp_useful_flops (analytic, x3 fwd:bwd)",
+        "xla_flops_per_step_reference_graph": hw_flops,
+    }
+    return out
 
 
 def bench_selftest():
@@ -417,6 +538,12 @@ def main():
     ap.add_argument("--svgp", action="store_true",
                     help="report SVGP ELBO steps/sec instead of the Gram "
                          "headline (no measurable reference baseline)")
+    ap.add_argument("--svgp-curve", action="store_true",
+                    help="with --svgp: add the minibatch-scaling curve "
+                         "(50/100/200/400) and the MFU/roofline numbers")
+    ap.add_argument("--base", default="rbf",
+                    help="with --svgp: base kernel (any registered name; "
+                         "vs_baseline stays the same-base fused='off' leg)")
     ap.add_argument("--selftest", action="store_true",
                     help="on-chip fused-kernel self-test (fwd+bwd, all "
                          "orders/modes, vs the XLA path); exits nonzero on "
@@ -427,7 +554,8 @@ def main():
         bench_selftest()
         return
     if args.svgp:
-        print(json.dumps(bench_svgp(args.quick)))
+        print(json.dumps(bench_svgp(args.quick, curve=args.svgp_curve,
+                                    base=args.base)))
         return
 
     import jax
