@@ -306,7 +306,8 @@ def seq_cross_levels_seq_parallel(mesh: Mesh, M_inc, num_levels: int, *,
 #   4. runs the carry recursions — so no device ever holds more than its
 #      L/C stripe of any Gram.
 #
-# Requires order=1 and difference=True (the reference benchmarks' default).
+# Requires difference=True (the reference benchmarks' default); any
+# discretization order (the order>1 recursions add only chunk-local work).
 # ---------------------------------------------------------------------------
 
 
