@@ -406,6 +406,29 @@ def _zx_compiler_params(lt, nZp, d2, num_levels, L_true, BX, interpret):
     )
 
 
+def _tens_bwd_compiler_params(lt, d2, nZp, BN, num_levels, interpret):
+    """Scoped-VMEM override for the Kzz backward kernel.  The matern12
+    bwd traces the dots-level closed form through jax.vjp inside the
+    kernel (weight tiles + step-norm chains), and at the flagship scale
+    (lt=10, nZ=500, d=14) its per-cell working set measures ~19 MB —
+    above Mosaic's 16 MB default scoped limit (round-5 compile failure:
+    'Scoped allocation with size 18.92M ... exceeded ... by 2.91M').
+    The resident inputs are tiny (4 slot-flat arrays + the cotangent
+    block), so grant the working set the same 100 MB ceiling the Kzx
+    kernels use."""
+    if interpret:
+        return None
+    from .signature_pallas import _TOTAL_VMEM
+
+    resident = (4 * lt * d2 * nZp + (num_levels + 1) * BN * BN
+                + 2 * 2 * lt * d2 * BN) * 4
+    work = (8 + 4 * num_levels + 6 * lt) * BN * BN * 4
+    limit = min(100 * 1024 * 1024, _TOTAL_VMEM - resident)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(limit, work + (1 << 20))
+    )
+
+
 def pick_x_block(lt: int, nZ: int, d: int, num_levels: int,
                  base: str = "rbf", *, L: int, max_block: int = 8) -> int:
     """Widest lane-batch width (examples per Kzx grid cell) whose VMEM
@@ -502,6 +525,8 @@ def _make_tens_core(num_levels, base, increments, nb, BN, nZp, interpret):
                 jax.ShapeDtypeStruct((nb, nb, 2 * lt, d2, BN), f32),
                 jax.ShapeDtypeStruct((nb, nb, 2 * lt, d2, BN), f32),
             ],
+            compiler_params=_tens_bwd_compiler_params(
+                lt, d2, nZp, BN, num_levels, interpret),
             interpret=interpret,
         )(Vl, Dl, Vr, Dr, ct_u)
         # (nb, nb, 2lt, d2, BN): sum over the opposite grid axis, unblock
